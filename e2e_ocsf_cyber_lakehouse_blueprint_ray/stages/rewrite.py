@@ -1,0 +1,210 @@
+"""Shared file-rewrite machinery for the maintenance ops.
+
+Compaction, per-partition clustering and MERGE all reduce to: take a BIN
+(a set of whole input files within one partition, optionally plus extra
+rows), produce sorted replacement files, record lineage, return manifest
+entries. The bin is the unit of parallelism, retry and resume — this is why
+compaction scales near-linearly: there is NO shuffle, just independent
+bounded-size rewrite tasks (SURVEY.md §7 step 3).
+
+Execution shape: ``ray.data.from_items(bins).map_batches(BinRewriter,
+concurrency=N, batch_size=1)`` — an actor pool so each worker re-uses its
+Parquet writer/compression state across bins (the reference gets this from
+``delta.autoOptimize`` executors, /root/reference/utilities/utils.py:86-87).
+
+Idempotent resume: unit_id = blake2b(sorted inputs + params); a completed
+unit's lineage record (state/lineage.py) short-circuits the work, and output
+files are deterministically named ``<unit_id>-<k>.parquet`` so a re-run
+overwrites rather than duplicates (BASELINE.json north_rule: "resumable from
+checkpoint with per-partition lineage").
+"""
+
+from __future__ import annotations
+
+import json
+import os
+
+import pyarrow as pa
+import pyarrow.compute as pc
+import pyarrow.parquet as pq
+
+from ..config import EngineConfig
+from ..hashing import curve_key, hash64_column
+from ..state import lineage
+from ..state.manifest import ENTRY_SCHEMA
+from ..table import Table
+
+BIN_FIELDS = ["unit_id", "partition", "inputs_json", "in_rows", "in_bytes"]
+
+
+def make_bin(inputs: list[str], partition: str, entries_by_path: dict, params: str = "") -> dict:
+    """Bin descriptor row (plain dict → ray.data.from_items)."""
+    return {
+        "unit_id": lineage.unit_id(inputs, params),
+        "partition": partition,
+        "inputs_json": json.dumps(sorted(inputs)),
+        "in_rows": int(sum(entries_by_path[p]["rows"] for p in inputs)),
+        "in_bytes": int(sum(entries_by_path[p]["bytes"] for p in inputs)),
+    }
+
+
+class FailInjected(RuntimeError):
+    """Raised by tests to simulate a mid-job crash."""
+
+
+class BinRewriter:
+    """Actor-pool callable: one bin descriptor row in → manifest entries out.
+
+    ``sort_mode``:
+      "key"     — sort rows by ``sort_key`` (compaction, merge)
+      "zorder"  — compute curve key from (conv_id, ts), sort by it, drop it
+      "none"    — keep input order
+    ``extra_rows_ref``: ray.ObjectRef of {partition: serialized pa.Table} to
+    union into the bin (MERGE upserts), fetched ONCE per actor.
+    ``delete_keys_ref``: ray.ObjectRef of {partition: key string array} whose
+    (conv_id, turn_idx) rows are dropped (MERGE anti-join).
+    """
+
+    def __init__(
+        self,
+        table_dir: str,
+        config: EngineConfig,
+        job_id: str,
+        *,
+        sort_mode: str = "key",
+        sort_key: list[str] | None = None,
+        curve: str | None = None,
+        extra_rows_ref=None,
+        delete_keys_ref=None,
+        fail_after: int | None = None,
+    ):
+        import ray
+
+        self.table = Table(table_dir, config)
+        self.config = config
+        self.job_id = job_id
+        self.sort_mode = sort_mode
+        self.sort_key = sort_key or ["conv_id", "turn_idx"]
+        self.curve = curve or config.curve
+        self.extra = ray.get(extra_rows_ref) if extra_rows_ref is not None else {}
+        self.delete_keys = ray.get(delete_keys_ref) if delete_keys_ref is not None else {}
+        self.stats_cols = self.table.stats_cols() or None
+        self.fail_after = fail_after
+        self.done = 0
+
+    # -- helpers ---------------------------------------------------------
+
+    def _read_inputs(self, inputs: list[str]) -> pa.Table | None:
+        tabs = [pq.read_table(os.path.join(self.table.dir, p)) for p in inputs]
+        return pa.concat_tables(tabs).combine_chunks() if tabs else None
+
+    def _apply_merge(self, t: pa.Table | None, partition: str) -> pa.Table | None:
+        dk = self.delete_keys.get(partition)
+        if t is not None and dk is not None:
+            key = pc.binary_join_element_wise(
+                t["conv_id"], pc.cast(t["turn_idx"], pa.string()), "\x1f"
+            )
+            t = t.filter(pc.invert(pc.is_in(key, value_set=dk)))
+        ex = self.extra.get(partition)
+        if ex is not None:
+            ex_t = pa.ipc.open_stream(ex).read_all()
+            t = ex_t if t is None else pa.concat_tables([t, ex_t]).combine_chunks()
+        return t
+
+    def _sorted(self, t: pa.Table) -> pa.Table:
+        if self.sort_mode == "none" or t.num_rows == 0:
+            return t
+        if self.sort_mode == "zorder":
+            zk = curve_key(
+                hash64_column(t["conv_id"]),
+                t["ts"].cast(pa.int64()).to_numpy(zero_copy_only=False),
+                bucket_s=self.config.zorder_ts_bucket_s,
+                curve=self.curve,
+                bits=self.config.curve_bits,
+            )
+            idx = pc.sort_indices(pa.table({"z": zk}), sort_keys=[("z", "ascending")])
+            return t.take(idx)
+        idx = pc.sort_indices(t, sort_keys=[(k, "ascending") for k in self.sort_key])
+        return t.take(idx)
+
+    def _split_rows(self, in_rows: int, in_bytes: int, total_rows: int) -> int:
+        """Output rows/file sized so files land near target_file_bytes."""
+        if in_rows <= 0 or in_bytes <= 0:
+            return self.config.max_rows_per_file
+        per_row = max(1.0, in_bytes / in_rows)
+        return max(1, min(self.config.max_rows_per_file, int(self.config.target_file_bytes / per_row)))
+
+    # -- per-bin work ----------------------------------------------------
+
+    def _do_unit(self, unit: dict) -> list[dict]:
+        uid = unit["unit_id"]
+        cached = lineage.load_unit(self.table.dir, self.job_id, uid)
+        if cached is not None:
+            return cached["entries"]
+        if self.fail_after is not None and self.done >= self.fail_after:
+            raise FailInjected(f"injected failure after {self.done} units")
+        inputs = json.loads(unit["inputs_json"])
+        partition = unit["partition"]
+        t = self._read_inputs(inputs)
+        t = self._apply_merge(t, partition)
+        entries: list[dict] = []
+        if t is not None and t.num_rows:
+            t = self._sorted(t)
+            rpf = self._split_rows(int(unit["in_rows"]), int(unit["in_bytes"]), t.num_rows)
+            k = 0
+            for off in range(0, t.num_rows, rpf):
+                sl = t.slice(off, rpf)
+                entries.append(
+                    self.table.write_file(sl, partition, f"{uid}-{k:04d}.parquet", self.stats_cols)
+                )
+                k += 1
+        lineage.save_unit(
+            self.table.dir,
+            self.job_id,
+            uid,
+            {
+                "partition": partition,
+                "inputs": inputs,
+                "input_rows": int(unit["in_rows"]),
+                "entries": entries,
+            },
+        )
+        self.done += 1
+        return entries
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        out: list[dict] = []
+        for unit in batch.to_pylist():
+            out.extend(self._do_unit(unit))
+        if not out:
+            return ENTRY_SCHEMA.empty_table()
+        return pa.Table.from_pylist(out, schema=ENTRY_SCHEMA)
+
+
+def run_bins(
+    table: Table,
+    bins: list[dict],
+    job_id: str,
+    *,
+    concurrency: int | None = None,
+    **rewriter_kw,
+) -> pa.Table:
+    """Execute bins on an actor pool; returns the new manifest entries."""
+    import ray.data as rd
+
+    if not bins:
+        return ENTRY_SCHEMA.empty_table()
+    conc = max(1, min(concurrency or table.config.rewrite_concurrency, len(bins)))
+    ds = rd.from_items(bins)
+    ent_ds = ds.map_batches(
+        BinRewriter,
+        fn_constructor_args=(table.dir, table.config, job_id),
+        fn_constructor_kwargs=rewriter_kw,
+        batch_format="pyarrow",
+        batch_size=1,  # one bin per task → straggler-friendly scheduling
+        concurrency=conc,
+    )
+    rows = ent_ds.take_all()
+    return (
+        pa.Table.from_pylist(rows, schema=ENTRY_SCHEMA) if rows else ENTRY_SCHEMA.empty_table()
+    )

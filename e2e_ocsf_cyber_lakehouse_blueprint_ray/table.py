@@ -1,0 +1,391 @@
+"""Parquet table + Arrow-backed snapshot log = the engine's "Delta table".
+
+Reference analog: managed Delta tables created by ``@sdp.table`` /
+``sdp.create_sink`` (/root/reference/transformations/pipelines/github/
+audit_logs/bronze_github_audit_logs.py:30-35, transformations/mappings/ocsf/
+iam/gold_ocsf_iam_event_classes_delta_sinks.py:117-179). A ``Table`` is a
+directory of Parquet data files plus the ``_manifest`` snapshot log
+(state/manifest.py); reads go through the manifest (NOT directory listing) so
+readers get snapshot isolation and stats-based file pruning.
+
+Partition specs:
+    "hash:<col>:<P>"  — dirs ``part-<n>``, n = hash64(col) % P (keyed tables)
+    "col:<col>"       — dirs ``<col>=<value>`` (e.g. _event_date, medallion)
+    "none"            — single dir
+
+Scale notes: scans return a lazy ``ray.data.Dataset`` over the pruned file
+list; appends stream through an actor-pool writer stage (one Parquet writer
+per actor, batches routed to partition dirs); only the manifest commit — a
+few KB of metadata per thousand files — touches the driver/metastore.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import time
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+import pyarrow.parquet as pq
+
+from . import config as cfg
+from .hashing import hash64_column
+from .state import lineage, manifest
+
+_PQ_OPTS = dict(compression="zstd", compression_level=3)
+
+
+class ConflictError(RuntimeError):
+    """A concurrent commit removed files this commit depends on."""
+
+
+def _write_parquet_atomic(table: pa.Table, path: str) -> int:
+    os.makedirs(os.path.dirname(path), exist_ok=True)
+    tmp = path + f".tmp.{os.getpid()}.{time.monotonic_ns()}"
+    pq.write_table(table, tmp, **_PQ_OPTS)
+    os.replace(tmp, path)
+    return os.path.getsize(path)
+
+
+class Table:
+    def __init__(self, table_dir: str, config: cfg.EngineConfig | None = None):
+        self.dir = os.path.abspath(table_dir)
+        self.config = config or cfg.DEFAULT
+
+    # -- lifecycle ----------------------------------------------------------
+
+    @classmethod
+    def create(
+        cls,
+        table_dir: str,
+        schema: pa.Schema,
+        *,
+        partition_spec: str = "none",
+        config: cfg.EngineConfig | None = None,
+        stats_cols: list[str] | None = None,
+    ) -> "Table":
+        """Create with an empty snapshot-0 — the analog of the reference's
+        minimal-schema pre-creation that makes concurrent first appends
+        race-free (pre_setup_ocsf_tables.py:96-116)."""
+        t = cls(table_dir, config)
+        os.makedirs(t.dir, exist_ok=True)
+        if manifest.current_id(t.dir) is None:
+            extra = {"stats_cols": json.dumps(stats_cols or [])}
+            ok = manifest.try_write_snapshot(
+                t.dir,
+                0,
+                manifest.empty_entries(),
+                parent_id=None,
+                operation="create",
+                schema=schema,
+                partition_spec=partition_spec,
+                extra=extra,
+            )
+            if ok:
+                manifest.set_current(t.dir, 0)
+        return t
+
+    def exists(self) -> bool:
+        return manifest.current_id(self.dir) is not None
+
+    # -- metadata -----------------------------------------------------------
+
+    def current_snapshot_id(self) -> int:
+        cur = manifest.current_id(self.dir)
+        if cur is None:
+            raise FileNotFoundError(f"no table at {self.dir}")
+        return cur
+
+    def snapshot(self, snapshot_id: int | None = None) -> tuple[pa.Table, dict]:
+        sid = self.current_snapshot_id() if snapshot_id is None else snapshot_id
+        return manifest.read_snapshot(self.dir, sid)
+
+    def entries(self, snapshot_id: int | None = None) -> pa.Table:
+        return self.snapshot(snapshot_id)[0]
+
+    def schema(self, snapshot_id: int | None = None) -> pa.Schema:
+        return self.snapshot(snapshot_id)[1]["schema"]
+
+    def partition_spec(self, snapshot_id: int | None = None) -> str:
+        return self.snapshot(snapshot_id)[1]["partition_spec"]
+
+    def stats_cols(self, snapshot_id: int | None = None) -> list[str]:
+        meta = self.snapshot(snapshot_id)[1]
+        raw = meta.get("engine.x.stats_cols")
+        if raw:
+            try:
+                return json.loads(raw)
+            except ValueError:
+                pass
+        sch = meta["schema"]
+        return list(sch.names) if sch is not None else []
+
+    def live_files(self, snapshot_id: int | None = None) -> list[str]:
+        ents = self.entries(snapshot_id)
+        return [os.path.join(self.dir, p) for p in sorted(ents["path"].to_pylist())]
+
+    # -- partitioning -------------------------------------------------------
+
+    def partition_values(self, batch: pa.Table) -> np.ndarray:
+        """Partition dir name per row (object ndarray of strings)."""
+        spec = self.partition_spec()
+        if spec == "none":
+            return np.full(batch.num_rows, "", dtype=object)
+        kind, _, rest = spec.partition(":")
+        if kind == "hash":
+            col, _, p = rest.partition(":")
+            parts = hash64_column(batch[col]) % np.uint64(int(p))
+            return np.array([f"part-{int(v)}" for v in parts], dtype=object)
+        if kind == "col":
+            vals = batch[rest].cast(pa.string()).to_numpy(zero_copy_only=False)
+            return np.array([f"{rest}-{v}" for v in vals], dtype=object)
+        raise ValueError(f"bad partition spec {spec!r}")
+
+    # -- read path ----------------------------------------------------------
+
+    def pruned_entries(
+        self,
+        predicates: dict[str, tuple] | None = None,
+        partitions: list[str] | None = None,
+        snapshot_id: int | None = None,
+    ) -> pa.Table:
+        ents = self.entries(snapshot_id)
+        if partitions is not None and ents.num_rows:
+            ents = ents.filter(pc.is_in(ents["partition"], value_set=pa.array(partitions)))
+        return manifest.prune(ents, predicates)
+
+    def scan(
+        self,
+        *,
+        columns: list[str] | None = None,
+        predicates: dict[str, tuple] | None = None,
+        partitions: list[str] | None = None,
+        snapshot_id: int | None = None,
+        **read_kwargs,
+    ):
+        """Lazy Ray Dataset over the (pruned) live files of a snapshot —
+        the analog of ``spark.readStream.table(name)``
+        (silver_github_audit_logs.py:27-28)."""
+        import ray.data as rd
+
+        ents = self.pruned_entries(predicates, partitions, snapshot_id)
+        paths = [os.path.join(self.dir, p) for p in sorted(ents["path"].to_pylist())]
+        if not paths:
+            sch = self.schema(snapshot_id)
+            if columns:
+                sch = pa.schema([sch.field(c) for c in columns])
+            return rd.from_arrow(sch.empty_table())
+        # Partition values are manifest metadata here, not hive columns; data
+        # dirs deliberately contain no "=" so the reader's hive inference is
+        # inert. (Ray 2.49.2 raises UnboundLocalError when partitioning=None
+        # is combined with an explicit column list, so only disable inference
+        # on full-schema scans.)
+        if columns is None:
+            read_kwargs.setdefault("partitioning", None)
+        return rd.read_parquet(paths, columns=columns, **read_kwargs)
+
+    def read_arrow(
+        self,
+        *,
+        columns: list[str] | None = None,
+        predicates: dict[str, tuple] | None = None,
+        snapshot_id: int | None = None,
+    ) -> pa.Table:
+        """Driver-side read (tests / small tables only)."""
+        ents = self.pruned_entries(predicates, None, snapshot_id)
+        paths = [os.path.join(self.dir, p) for p in sorted(ents["path"].to_pylist())]
+        if not paths:
+            sch = self.schema(snapshot_id)
+            return sch.empty_table() if columns is None else pa.schema(
+                [sch.field(c) for c in columns]
+            ).empty_table()
+        return pa.concat_tables(pq.read_table(p, columns=columns) for p in paths)
+
+    # -- write path ---------------------------------------------------------
+
+    def write_file(
+        self, batch: pa.Table, partition: str, name: str, stats_cols: list[str] | None = None
+    ) -> dict:
+        """Write one data file (atomic) and return its manifest entry."""
+        rel = os.path.join("data", partition, name) if partition else os.path.join("data", name)
+        nbytes = _write_parquet_atomic(batch, os.path.join(self.dir, rel))
+        return manifest.entry_for(
+            rel, partition, batch, nbytes, stats_cols or self.stats_cols() or None
+        )
+
+    def split_by_partition(self, batch: pa.Table) -> dict[str, pa.Table]:
+        parts = self.partition_values(batch)
+        if len(parts) == 0:
+            return {}
+        order = np.argsort(parts, kind="stable")
+        sorted_parts = parts[order]
+        bounds = np.flatnonzero(np.r_[True, sorted_parts[1:] != sorted_parts[:-1]])
+        out = {}
+        taken = batch.take(pa.array(order))
+        for i, b in enumerate(bounds):
+            e = bounds[i + 1] if i + 1 < len(bounds) else len(sorted_parts)
+            out[str(sorted_parts[b])] = taken.slice(b, e - b)
+        return out
+
+    def write_table(
+        self,
+        data: pa.Table,
+        *,
+        rows_per_file: int | None = None,
+        operation: str = "append",
+        name_prefix: str = "w",
+        use_actor: bool = False,
+    ) -> int:
+        """Driver-side append of an in-memory table, split into partition
+        dirs and (optionally many small) files. Used by fixtures/ingest of
+        small tables; large appends use ``append_dataset``."""
+        rpf = rows_per_file or self.config.max_rows_per_file
+        entries = []
+        seq = 0
+        for part, chunk in self.split_by_partition(data).items():
+            for off in range(0, chunk.num_rows, rpf):
+                sl = chunk.slice(off, rpf)
+                entries.append(
+                    self.write_file(sl, part, f"{name_prefix}-{seq:05d}.parquet")
+                )
+                seq += 1
+        added = pa.Table.from_pylist(entries, schema=manifest.ENTRY_SCHEMA) if entries else None
+        return self.commit(added=added, removed=[], operation=operation, use_actor=use_actor)
+
+    def append_dataset(
+        self,
+        ds,
+        *,
+        operation: str = "append",
+        use_actor: bool = False,
+        sort_within_file: list[str] | None = None,
+        name_prefix: str = "a",
+    ) -> int:
+        """Append a Ray Dataset: an actor-pool writer stage routes each
+        batch's rows to partition dirs and writes Parquet files (one writer
+        amortized per actor); only the manifest entries — a few hundred bytes
+        per file — come back to the driver for a single commit. The data
+        itself never materializes on the driver."""
+        table_dir, cfg_ = self.dir, self.config
+        stats_cols = self.stats_cols()
+
+        class Writer:
+            def __init__(self):
+                import uuid
+
+                self.t = Table(table_dir, cfg_)
+                self.seq = 0
+                self.wid = uuid.uuid4().hex[:10]
+
+            def __call__(self, batch: pa.Table) -> pa.Table:
+                entries = []
+                if sort_within_file:
+                    idx = pc.sort_indices(
+                        batch, sort_keys=[(k, "ascending") for k in sort_within_file]
+                    )
+                    batch = batch.take(idx)
+                for part, chunk in self.t.split_by_partition(batch).items():
+                    name = f"{name_prefix}-{self.wid}-{self.seq:05d}.parquet"
+                    self.seq += 1
+                    entries.append(self.t.write_file(chunk, part, name, stats_cols))
+                return pa.Table.from_pylist(entries, schema=manifest.ENTRY_SCHEMA)
+
+        ent_ds = ds.map_batches(
+            Writer,
+            batch_format="pyarrow",
+            batch_size=cfg_.batch_size,
+            concurrency=cfg_.rewrite_concurrency,
+        )
+        entry_rows = ent_ds.take_all()  # tiny: one row per written file
+        added = (
+            pa.Table.from_pylist(entry_rows, schema=manifest.ENTRY_SCHEMA)
+            if entry_rows
+            else None
+        )
+        return self.commit(added=added, removed=[], operation=operation, use_actor=use_actor)
+
+    # -- commit -------------------------------------------------------------
+
+    def commit(
+        self,
+        *,
+        added: pa.Table | None,
+        removed: list[str],
+        operation: str,
+        expected_parent: int | None = None,
+        use_actor: bool = False,
+        job_id: str | None = None,
+    ) -> int:
+        """Commit a new snapshot. ``use_actor=True`` routes through the
+        table's metastore actor (multi-writer serialization); otherwise the
+        file-based optimistic protocol runs locally."""
+        if use_actor:
+            import ray
+
+            from .state import metastore
+
+            ms = metastore.get_or_create(self.dir)
+            sid = ray.get(
+                ms.commit.remote(
+                    added=added.to_pydict() if added is not None else {},
+                    removed=removed,
+                    operation=operation,
+                    expected_parent=expected_parent,
+                )
+            )
+        else:
+            sid = self._commit_local(
+                added=added,
+                removed=removed,
+                operation=operation,
+                expected_parent=expected_parent,
+            )
+        if job_id is not None:
+            lineage.finalize_job(self.dir, job_id, sid)
+        return sid
+
+    def _commit_local(
+        self,
+        *,
+        added: pa.Table | None,
+        removed: list[str],
+        operation: str,
+        expected_parent: int | None = None,
+    ) -> int:
+        removed_set = set(removed)
+        for _ in range(50):
+            cur = self.current_snapshot_id()
+            ents, meta = self.snapshot(cur)
+            if expected_parent is not None and cur != expected_parent and removed_set:
+                live = set(ents["path"].to_pylist())
+                if not removed_set <= live:
+                    raise ConflictError(
+                        f"{operation}: parent moved {expected_parent}->{cur} and "
+                        f"removed files are no longer live"
+                    )
+            live_paths = ents["path"].to_pylist()
+            if removed_set and not removed_set <= set(live_paths):
+                raise ConflictError(f"{operation}: removing non-live files")
+            if removed_set:
+                keep = pa.array([p not in removed_set for p in live_paths])
+                ents = ents.filter(keep)
+            if added is not None and added.num_rows:
+                ents = pa.concat_tables([ents, added.cast(manifest.ENTRY_SCHEMA)])
+            nid = cur + 1
+            ok = manifest.try_write_snapshot(
+                self.dir,
+                nid,
+                ents,
+                parent_id=cur,
+                operation=operation,
+                schema=meta["schema"],
+                partition_spec=meta["partition_spec"],
+                extra={"stats_cols": meta.get("engine.x.stats_cols", "[]")},
+            )
+            if ok:
+                manifest.set_current(self.dir, nid)
+                return nid
+            # lost the id race: re-read and retry
+        raise ConflictError(f"{operation}: gave up after 50 commit attempts")

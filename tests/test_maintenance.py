@@ -1,0 +1,144 @@
+"""End-to-end invariants for compact / cluster / merge / expire
+(FIXTURES.md §4: scan equality, multiset preservation, stats correctness,
+idempotent resume, snapshot isolation, skew safety)."""
+
+import pyarrow as pa
+import pyarrow.compute as pc
+import pytest
+
+from e2e_ocsf_cyber_lakehouse_blueprint_ray import synth
+from e2e_ocsf_cyber_lakehouse_blueprint_ray.stages import (
+    cluster as cluster_mod,
+    compact as compact_mod,
+    expire as expire_mod,
+    merge as merge_mod,
+    rewrite,
+)
+from tests.test_table import CONF, make_table, sorted_scan
+
+
+@pytest.fixture(scope="module")
+def base_data():
+    return synth.transcripts(0.001)
+
+
+def expected_sorted(data):
+    return data.take(
+        pc.sort_indices(data, sort_keys=[("conv_id", "ascending"), ("turn_idx", "ascending")])
+    )
+
+
+def test_compact_scan_equality(tmp_table_dir, ray_session, base_data):
+    t = make_table(tmp_table_dir, base_data)
+    n_before = t.entries().num_rows
+    sid = compact_mod.compact(t)
+    assert sid == 2
+    assert t.entries().num_rows < n_before
+    assert sorted_scan(t).equals(expected_sorted(base_data))
+    # files are internally sorted by (conv_id, turn_idx)
+    import os
+
+    import pyarrow.parquet as pq
+
+    one = pq.read_table(os.path.join(t.dir, t.entries()["path"].to_pylist()[0]))
+    idx = pc.sort_indices(one, sort_keys=[("conv_id", "ascending"), ("turn_idx", "ascending")])
+    assert one.equals(one.take(idx))
+    # second compaction is a no-op
+    assert compact_mod.compact(t) is None
+
+
+def test_compact_resume_after_crash(tmp_table_dir, ray_session, base_data):
+    t = make_table(tmp_table_dir, base_data)
+    with pytest.raises(Exception):
+        compact_mod.compact(t, fail_after=2, concurrency=1)
+    assert t.current_snapshot_id() == 1  # no commit happened
+    sid = compact_mod.compact(t)  # resume: replans same job, skips done units
+    assert sid == 2
+    assert sorted_scan(t).equals(expected_sorted(base_data))
+    # no duplicated/orphan outputs beyond the live set after orphan cleanup
+    orphans = expire_mod.remove_orphans(t)
+    assert orphans == []
+
+
+@pytest.mark.parametrize("mode", ["partition", "global"])
+@pytest.mark.parametrize("curve", ["zorder", "hilbert"])
+def test_cluster_scan_equality(tmp_table_dir, ray_session, base_data, mode, curve):
+    t = make_table(tmp_table_dir, base_data)
+    sid = cluster_mod.cluster(t, mode=mode, curve=curve)
+    assert sid == 2
+    assert sorted_scan(t).equals(expected_sorted(base_data))
+
+
+def test_cluster_partition_resume(tmp_table_dir, ray_session, base_data):
+    t = make_table(tmp_table_dir, base_data)
+    with pytest.raises(Exception):
+        cluster_mod.cluster(t, mode="partition", fail_after=2, concurrency=1)
+    assert t.current_snapshot_id() == 1
+    assert cluster_mod.cluster(t, mode="partition") == 2
+    assert sorted_scan(t).equals(expected_sorted(base_data))
+
+
+def test_merge_matches_oracle(tmp_table_dir, ray_session, base_data):
+    t = make_table(tmp_table_dir, base_data)
+    src = synth.merge_source(base_data)
+    sid = merge_mod.merge(t, src)
+    assert sid == 2
+    got = sorted_scan(t)
+    exp = synth.apply_merge_expected(base_data, src)
+    assert got.equals(exp)
+
+
+def test_merge_only_touches_overlapping_files(tmp_table_dir, ray_session, base_data):
+    t = make_table(tmp_table_dir, base_data)
+    before = set(t.entries()["path"].to_pylist())
+    one_conv = "conv-00000100"
+    row = base_data.filter(pc.equal(base_data["conv_id"], one_conv)).slice(0, 1)
+    src = row.append_column("op", pa.array(["update"]))
+    src = src.set_column(3, "text", pa.array(["edited-one"]))
+    merge_mod.merge(t, src)
+    after = set(t.entries()["path"].to_pylist())
+    assert len(before - after) < len(before)  # most files untouched
+    got = sorted_scan(t)
+    assert got.num_rows == base_data.num_rows
+    edited = got.filter(pc.equal(got["text"], "edited-one"))
+    assert edited.num_rows == 1
+
+
+def test_merge_resume_after_crash(tmp_table_dir, ray_session, base_data):
+    t = make_table(tmp_table_dir, base_data)
+    src = synth.merge_source(base_data)
+    with pytest.raises(Exception):
+        merge_mod.merge(t, src, fail_after=2, concurrency=1)
+    assert t.current_snapshot_id() == 1
+    merge_mod.merge(t, src)
+    assert sorted_scan(t).equals(synth.apply_merge_expected(base_data, src))
+
+
+def test_expire_keeps_pinned_and_current(tmp_table_dir, ray_session, base_data):
+    t = make_table(tmp_table_dir, base_data)
+    compact_mod.compact(t)  # snap 2
+    src = synth.merge_source(base_data)
+    merge_mod.merge(t, src)  # snap 3
+    res = expire_mod.expire_snapshots(t, keep_last=2)
+    assert 3 in res["retained"] and res["expired"]
+    # current snapshot still reads fine
+    assert sorted_scan(t).equals(synth.apply_merge_expected(base_data, src))
+    # retained older snapshot (2) still reads fine
+    assert 2 in res["retained"]
+    assert sorted_scan(t, snapshot_id=2).equals(expected_sorted(base_data))
+    # expired snapshot is gone
+    with pytest.raises(FileNotFoundError):
+        t.entries(snapshot_id=res["expired"][0])
+
+
+def test_full_maintenance_sequence_equality(tmp_table_dir, ray_session, base_data):
+    """north_rule: compact → cluster → merge → expire, scan equality vs oracle."""
+    t = make_table(tmp_table_dir, base_data)
+    compact_mod.compact(t)
+    cluster_mod.cluster(t, mode="global", curve="zorder")
+    src = synth.merge_source(base_data)
+    merge_mod.merge(t, src)
+    expire_mod.expire_snapshots(t, keep_last=1)
+    got = sorted_scan(t)
+    exp = synth.apply_merge_expected(base_data, src)
+    assert got.equals(exp)  # byte-for-byte per-turn text equality, stable order

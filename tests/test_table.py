@@ -1,0 +1,107 @@
+import json
+import os
+
+import pyarrow as pa
+import pyarrow.compute as pc
+import pytest
+
+from e2e_ocsf_cyber_lakehouse_blueprint_ray import config as cfg
+from e2e_ocsf_cyber_lakehouse_blueprint_ray import synth
+from e2e_ocsf_cyber_lakehouse_blueprint_ray.schema import TRANSCRIPT, TRANSCRIPT_STATS_COLS
+from e2e_ocsf_cyber_lakehouse_blueprint_ray.state import manifest
+from e2e_ocsf_cyber_lakehouse_blueprint_ray.table import ConflictError, Table
+
+CONF = cfg.test_config()
+
+
+def make_table(d, data=None, rows_per_file=300):
+    t = Table.create(
+        d,
+        TRANSCRIPT,
+        partition_spec=f"hash:conv_id:{CONF.num_partitions}",
+        config=CONF,
+        stats_cols=TRANSCRIPT_STATS_COLS,
+    )
+    if data is not None:
+        t.write_table(data, rows_per_file=rows_per_file)
+    return t
+
+
+def sorted_scan(t: Table, snapshot_id=None) -> pa.Table:
+    out = t.read_arrow(snapshot_id=snapshot_id)
+    idx = pc.sort_indices(out, sort_keys=[("conv_id", "ascending"), ("turn_idx", "ascending")])
+    return out.take(idx)
+
+
+def test_create_and_snapshot0(tmp_table_dir):
+    t = make_table(tmp_table_dir)
+    assert t.current_snapshot_id() == 0
+    assert t.entries().num_rows == 0
+    assert t.schema().equals(TRANSCRIPT)
+
+
+def test_write_read_roundtrip(tmp_table_dir):
+    data = synth.transcripts(0.001)
+    t = make_table(tmp_table_dir, data)
+    assert t.current_snapshot_id() == 1
+    ents = t.entries()
+    assert ents.num_rows > 10  # many small files
+    assert int(pc.sum(ents["rows"]).as_py()) == data.num_rows
+    back = sorted_scan(t)
+    expect = data.take(
+        pc.sort_indices(data, sort_keys=[("conv_id", "ascending"), ("turn_idx", "ascending")])
+    )
+    assert back.equals(expect)
+
+
+def test_stats_match_recomputation(tmp_table_dir):
+    data = synth.transcripts(0.001)
+    t = make_table(tmp_table_dir, data)
+    import pyarrow.parquet as pq
+
+    for r in t.entries().to_pylist()[:5]:
+        st = json.loads(r["stats"])
+        actual = pq.read_table(os.path.join(t.dir, r["path"]))
+        assert r["rows"] == actual.num_rows
+        recomputed = manifest.compute_stats(actual, TRANSCRIPT_STATS_COLS)
+        assert st == json.loads(json.dumps(recomputed))
+
+
+def test_scan_pruning_by_stats(tmp_table_dir):
+    data = synth.transcripts(0.001)
+    t = make_table(tmp_table_dir, data)
+    target = "conv-00000042"
+    pruned = t.pruned_entries(predicates={"conv_id": (target, target)})
+    assert 0 < pruned.num_rows < t.entries().num_rows
+    got = pa.concat_tables(
+        __import__("pyarrow.parquet", fromlist=["x"]).read_table(os.path.join(t.dir, p))
+        for p in pruned["path"].to_pylist()
+    )
+    got = got.filter(pc.equal(got["conv_id"], target))
+    expect = data.filter(pc.equal(data["conv_id"], target))
+    assert got.num_rows == expect.num_rows
+
+
+def test_string_truncation_upper_bound():
+    s = "z" * 100
+    up = manifest.truncate_max(s)
+    assert up is not None and up >= s and len(up) <= 64
+    assert manifest.truncate_min(s) <= s
+
+
+def test_commit_conflict_on_nonlive_files(tmp_table_dir):
+    data = synth.transcripts(0.001)
+    t = make_table(tmp_table_dir, data)
+    with pytest.raises(ConflictError):
+        t.commit(added=None, removed=["data/part-0/nope.parquet"], operation="bad")
+
+
+def test_snapshot_isolation_pinned_reader(tmp_table_dir):
+    data = synth.transcripts(0.001)
+    t = make_table(tmp_table_dir, data)
+    s1 = t.current_snapshot_id()
+    more = data.slice(0, 100)
+    t.write_table(more, rows_per_file=50, operation="append2", name_prefix="m")
+    assert t.current_snapshot_id() == s1 + 1
+    assert t.read_arrow(snapshot_id=s1).num_rows == data.num_rows
+    assert t.read_arrow().num_rows == data.num_rows + 100
