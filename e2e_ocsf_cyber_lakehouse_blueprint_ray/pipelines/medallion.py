@@ -1,0 +1,183 @@
+"""The medallion pipeline: bronze → silver → gold OCSF fan-out.
+
+Re-expression of the reference's three entry points (SURVEY.md §3):
+
+EP1 bronze ingest  — Auto Loader JSONL → variant + 7 metadata columns
+    (bronze_<src>_audit_logs.py); here: sources.jsonl.ingest_jsonl +
+    functions.meta.BronzeMeta into an ``_event_date``-partitioned Table.
+EP2 silver parse   — readStream.table(bronze) → 17-26 ``try_variant_get``
+    extractions (silver_<src>_audit_logs.py:29-82); here: incremental
+    bronze-file scan → functions.variant.SilverExtract actor pool.
+EP3 gold fan-out   — 15 ``@sdp.append_flow`` → 6 shared Delta sinks with
+    mergeSchema + pre-created minimal ``time TIMESTAMP`` schema
+    (gold_ocsf_iam_event_classes_delta_sinks.py:117-179,184-305;
+    utilities/pre_setup_ocsf_tables.py:96-116); here: 15 GoldTransform
+    flows appending to 6 Tables whose commits are serialized by each
+    table's metastore actor, with schema evolution on first append.
+
+Incremental ("streaming table") semantics: each downstream flow records the
+upstream files it consumed in its target's lineage log; a re-run processes
+only upstream files added since — the S3 ``spark.readStream.table``
+exactly-once analog at file granularity.
+"""
+
+from __future__ import annotations
+
+import os
+
+import pyarrow as pa
+
+from ..config import EngineConfig, DEFAULT
+from ..functions.meta import BronzeMeta
+from ..functions.ocsf import GoldTransform, flows
+from ..functions.variant import SilverExtract
+from ..schema import BRONZE
+from ..sources.jsonl import ingest_jsonl
+from ..state import lineage
+from ..table import Table
+
+SOURCES = ("github", "slack", "atlassian")
+GOLD_TABLES = {
+    # reference utilities/utils.py:53-60
+    "account_change": "ocsf_iam_account_change",
+    "authentication": "ocsf_iam_authentication",
+    "authorize_session": "ocsf_iam_authorize_session",
+    "entity_management": "ocsf_iam_entity_management",
+    "user_access": "ocsf_iam_user_access",
+    "group_management": "ocsf_iam_group_management",
+}
+
+#: gold tables are pre-created with this minimal schema (the reference's
+#: ``CREATE TABLE ... (time TIMESTAMP)``, pre_setup_ocsf_tables.py:103-107)
+MINIMAL_GOLD = pa.schema([("time", pa.timestamp("us"))])
+
+
+class Medallion:
+    def __init__(self, root: str, config: EngineConfig | None = None):
+        self.root = root
+        self.config = config or DEFAULT
+
+    # -- DDL pre-setup (S7) ---------------------------------------------
+
+    def table(self, name: str) -> Table:
+        return Table(os.path.join(self.root, name), self.config)
+
+    def setup(self) -> None:
+        for src in SOURCES:
+            Table.create(
+                os.path.join(self.root, f"bronze_{src}_audit_logs"),
+                BRONZE,
+                partition_spec="col:_event_date",
+                config=self.config,
+                stats_cols=["_event_time", "_event_date", "_source"],
+            )
+            # silver schema is established on first write (evolution), but the
+            # table object + snapshot-0 exist up front, like pre-setup DDL.
+            Table.create(
+                os.path.join(self.root, f"silver_{src}_audit_logs"),
+                BRONZE,  # superset grows via evolve_schema on first append
+                partition_spec="col:_event_date",
+                config=self.config,
+                stats_cols=["_event_time", "_event_date", "_source", "action"],
+            )
+        for cls, name in GOLD_TABLES.items():
+            Table.create(
+                os.path.join(self.root, name),
+                MINIMAL_GOLD,
+                partition_spec="col:_event_date",
+                config=self.config,
+                stats_cols=["time", "_source", "class_uid"],
+            )
+
+    # -- incremental flow helper (S3 streaming-table analog) -------------
+
+    def _new_upstream_files(self, upstream: Table, downstream: Table, tag: str) -> list[str]:
+        log = lineage.read_log(downstream.dir)
+        seen: set[str] = set()
+        if log.num_rows:
+            for files, job in zip(log["input_files"].to_pylist(), log["job_id"].to_pylist()):
+                if job.startswith(f"flow-{tag}"):
+                    seen.update(files)
+        return [p for p in upstream.live_files() if p not in seen]
+
+    def _run_flow(self, upstream: Table, downstream: Table, tag: str, transform, *, use_actor: bool, evolve: bool) -> int | None:
+        import ray.data as rd
+
+        new_files = self._new_upstream_files(upstream, downstream, tag)
+        if not new_files:
+            return None
+        ds = rd.read_parquet(sorted(new_files))
+        out = ds.map_batches(
+            transform,
+            batch_format="pyarrow",
+            batch_size=self.config.batch_size,
+            concurrency=self.config.rewrite_concurrency,
+        )
+        schema_probe = None
+        if evolve:
+            # writer schema from the dataset plan (Arrow schema; triggers a
+            # tiny partial execution — at 100 TB scale pass it explicitly)
+            sch = out.schema()
+            base = getattr(sch, "base_schema", None)
+            if isinstance(base, pa.Schema):
+                schema_probe = base
+        parent = downstream.current_snapshot_id()
+        sid = downstream.append_dataset(
+            out,
+            operation=f"flow-{tag}",
+            use_actor=use_actor,
+            evolve_schema=schema_probe,
+        )
+        job_id = lineage.job_id_for(f"flow-{tag}", parent, params="|".join(sorted(new_files)))
+        lineage.save_unit(
+            downstream.dir,
+            job_id,
+            lineage.unit_id(new_files),
+            {"partition": "", "inputs": new_files, "input_rows": 0, "entries": []},
+        )
+        lineage.finalize_job(downstream.dir, job_id, sid)
+        return sid
+
+    # -- entry points ----------------------------------------------------
+
+    def run_bronze(self, fixture_root: str, *, use_actor: bool = False) -> dict[str, int | None]:
+        out = {}
+        for src in SOURCES:
+            t = self.table(f"bronze_{src}_audit_logs")
+            sid, _ = ingest_jsonl(t, os.path.join(fixture_root, src), BronzeMeta(src), use_actor=use_actor)
+            out[src] = sid
+        return out
+
+    def run_silver(self, *, use_actor: bool = False) -> dict[str, int | None]:
+        out = {}
+        for src in SOURCES:
+            out[src] = self._run_flow(
+                self.table(f"bronze_{src}_audit_logs"),
+                self.table(f"silver_{src}_audit_logs"),
+                f"silver-{src}",
+                SilverExtract(src),
+                use_actor=use_actor,
+                evolve=True,
+            )
+        return out
+
+    def run_gold(self, *, use_actor: bool = True) -> dict[tuple[str, str], int | None]:
+        """15 flows → 6 sinks; commits serialized per sink by its metastore
+        actor (multi-writer path, S5)."""
+        out = {}
+        for src, cls in flows():
+            out[(src, cls)] = self._run_flow(
+                self.table(f"silver_{src}_audit_logs"),
+                self.table(GOLD_TABLES[cls]),
+                f"gold-{src}-{cls}",
+                GoldTransform(src, cls),
+                use_actor=use_actor,
+                evolve=True,
+            )
+        return out
+
+    def run_all(self, fixture_root: str, *, use_actor_gold: bool = True) -> None:
+        self.setup()
+        self.run_bronze(fixture_root)
+        self.run_silver()
+        self.run_gold(use_actor=use_actor_gold)

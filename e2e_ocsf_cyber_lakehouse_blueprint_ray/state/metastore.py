@@ -34,6 +34,7 @@ class Metastore:
         removed: list[str],
         operation: str,
         expected_parent: int | None = None,
+        evolve_schema_ser: bytes | None = None,
     ) -> int:
         import pyarrow as pa
 
@@ -41,11 +42,17 @@ class Metastore:
 
         t = Table(self.table_dir)
         entries = pa.Table.from_pydict(added) if added else None
+        evolve = (
+            pa.ipc.read_schema(pa.BufferReader(evolve_schema_ser))
+            if evolve_schema_ser
+            else None
+        )
         return t._commit_local(
             added=entries,
             removed=removed,
             operation=operation,
             expected_parent=expected_parent,
+            evolve_schema=evolve,
         )
 
     def current(self) -> int | None:

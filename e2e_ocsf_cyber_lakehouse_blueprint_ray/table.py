@@ -262,6 +262,7 @@ class Table:
         use_actor: bool = False,
         sort_within_file: list[str] | None = None,
         name_prefix: str = "a",
+        evolve_schema: pa.Schema | None = None,
     ) -> int:
         """Append a Ray Dataset: an actor-pool writer stage routes each
         batch's rows to partition dirs and writes Parquet files (one writer
@@ -304,7 +305,13 @@ class Table:
             if entry_rows
             else None
         )
-        return self.commit(added=added, removed=[], operation=operation, use_actor=use_actor)
+        return self.commit(
+            added=added,
+            removed=[],
+            operation=operation,
+            use_actor=use_actor,
+            evolve_schema=evolve_schema,
+        )
 
     # -- commit -------------------------------------------------------------
 
@@ -317,6 +324,7 @@ class Table:
         expected_parent: int | None = None,
         use_actor: bool = False,
         job_id: str | None = None,
+        evolve_schema: pa.Schema | None = None,
     ) -> int:
         """Commit a new snapshot. ``use_actor=True`` routes through the
         table's metastore actor (multi-writer serialization); otherwise the
@@ -333,6 +341,11 @@ class Table:
                     removed=removed,
                     operation=operation,
                     expected_parent=expected_parent,
+                    evolve_schema_ser=(
+                        evolve_schema.serialize().to_pybytes()
+                        if evolve_schema is not None
+                        else None
+                    ),
                 )
             )
         else:
@@ -341,6 +354,7 @@ class Table:
                 removed=removed,
                 operation=operation,
                 expected_parent=expected_parent,
+                evolve_schema=evolve_schema,
             )
         if job_id is not None:
             lineage.finalize_job(self.dir, job_id, sid)
@@ -353,6 +367,7 @@ class Table:
         removed: list[str],
         operation: str,
         expected_parent: int | None = None,
+        evolve_schema: pa.Schema | None = None,
     ) -> int:
         removed_set = set(removed)
         for _ in range(50):
@@ -374,13 +389,19 @@ class Table:
             if added is not None and added.num_rows:
                 ents = pa.concat_tables([ents, added.cast(manifest.ENTRY_SCHEMA)])
             nid = cur + 1
+            schema = meta["schema"]
+            if evolve_schema is not None:
+                # mergeSchema analog (gold sinks option {"mergeSchema":"true"},
+                # gold_ocsf_iam_event_classes_delta_sinks.py:94-113): union the
+                # table schema with the writer's schema at commit time.
+                schema = pa.unify_schemas([schema, evolve_schema]) if schema else evolve_schema
             ok = manifest.try_write_snapshot(
                 self.dir,
                 nid,
                 ents,
                 parent_id=cur,
                 operation=operation,
-                schema=meta["schema"],
+                schema=schema,
                 partition_spec=meta["partition_spec"],
                 extra={"stats_cols": meta.get("engine.x.stats_cols", "[]")},
             )
