@@ -1,1 +1,12 @@
-from . import compact, cluster, expire, merge, repartition, rewrite  # noqa: F401
+from . import (  # noqa: F401
+    cluster,
+    compact,
+    dedup,
+    expire,
+    merge,
+    multimodal,
+    repartition,
+    rewrite,
+    similarity,
+    text,
+)

@@ -1,0 +1,341 @@
+"""Deduplication operators: exact, MinHash+LSH, SimHash, n-gram Jaccard,
+embedding-cosine near-dup.
+
+Scale shapes (the point of each design):
+
+- **exact**: content-hash per batch (vectorized polars ``.hash``), then
+  ``groupby(hash).map_groups(first)`` — the shuffle moves 8-byte hashes plus
+  the surviving row payload, never comparing long strings across the wire.
+- **minhash-lsh**: per-batch shingle→signature (numpy, one matmul-free
+  min-reduce per permutation), explode to (band, band_hash, doc_id) rows —
+  a narrow table — and ``groupby(band, band_hash)`` so only colliding docs
+  meet. Candidate verification re-reads only candidate texts via a
+  broadcast lookup (small at test scale; at 100 TB this verify step becomes
+  a hash-join of the candidate-id list against the corpus, still narrow).
+- **simhash**: 64-bit signature per doc; band the 64 bits into 4×16-bit
+  keys → groupby → verify Hamming distance ≤ k (catches all pairs with
+  ≤3-bit difference by pigeonhole when k ≤ 3).
+- **ngram-jaccard**: exact pairwise Jaccard within small candidate groups
+  (here: per ``source`` group; in production: within LSH buckets only).
+- **embedding near-dup**: normalized matmul of each batch against a
+  broadcast (ray.put once) normalized corpus matrix — O(n·d) per row with
+  BLAS, no shuffle.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import itertools
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+
+from ..config import EngineConfig, DEFAULT
+
+# -- exact -------------------------------------------------------------------
+
+
+def add_content_hash(batch: pa.Table, *, text_col: str = "text", out_col: str = "_h") -> pa.Table:
+    import polars as pl
+
+    h = pl.from_arrow(batch.select([text_col]))[text_col].hash(seed=0)
+    return batch.append_column(out_col, pa.array(h.to_numpy().astype(np.uint64)))
+
+
+def exact_dedup(ds, *, text_col: str = "text", id_col: str = "doc_id", config: EngineConfig = DEFAULT):
+    """Keep the min-id row per distinct text; adds ``dupes`` count.
+
+    hash → shuffle by hash → first-per-group. Returns a Dataset with the
+    surviving rows + dupes.
+    """
+    ds = ds.map_batches(
+        add_content_hash, fn_kwargs=dict(text_col=text_col), batch_format="pyarrow",
+        batch_size=config.batch_size,
+    )
+
+    def first(g: pa.Table) -> pa.Table:
+        idx = pc.sort_indices(g, sort_keys=[(id_col, "ascending")])
+        keep = g.take(idx.slice(0, 1)).drop_columns(["_h"])
+        return keep.append_column("dupes", pa.array([g.num_rows], pa.int64()))
+
+    return ds.groupby("_h").map_groups(first, batch_format="pyarrow")
+
+
+# -- shingles / minhash ------------------------------------------------------
+
+
+def _word_shingles(tokens: list[str], k: int) -> set[int]:
+    if len(tokens) < k:
+        joined = " ".join(tokens)
+        return {int.from_bytes(hashlib.blake2b(joined.encode(), digest_size=8).digest(), "little")} if tokens else set()
+    out = set()
+    for i in range(len(tokens) - k + 1):
+        g = " ".join(tokens[i : i + k])
+        out.add(int.from_bytes(hashlib.blake2b(g.encode(), digest_size=8).digest(), "little"))
+    return out
+
+
+_MERSENNE = np.uint64((1 << 61) - 1)
+
+
+def _perm_params(num_perm: int, seed: int = 7) -> tuple[np.ndarray, np.ndarray]:
+    rng = np.random.default_rng(seed)
+    a = rng.integers(1, (1 << 61) - 1, num_perm, dtype=np.uint64)
+    b = rng.integers(0, (1 << 61) - 1, num_perm, dtype=np.uint64)
+    return a, b
+
+
+def minhash_signature(shingles: set[int], a: np.ndarray, b: np.ndarray) -> np.ndarray:
+    if not shingles:
+        return np.full(len(a), (1 << 61) - 1, dtype=np.uint64)
+    x = np.fromiter(shingles, dtype=np.uint64, count=len(shingles))
+    # (P, S) via broadcasting; reduce min over shingles.  uint64 mul wraps —
+    # use the Mersenne-prime trick on 61-bit values (standard MinHash perm).
+    sig = ((a[:, None] * (x[None, :] % _MERSENNE)) + b[:, None]) % _MERSENNE
+    return sig.min(axis=1)
+
+
+class MinHasher:
+    """Actor-pool stage: text → (doc_id, band, band_hash) rows.
+
+    Permutation params + compiled splitter built ONCE per actor; per batch
+    the work is hashing distinct shingles and one vectorized min-reduce.
+    """
+
+    def __init__(self, *, num_perm: int = 64, bands: int = 16, shingle_k: int = 3,
+                 text_col: str = "text", id_col: str = "doc_id"):
+        assert num_perm % bands == 0
+        self.a, self.b = _perm_params(num_perm)
+        self.bands = bands
+        self.rows_per_band = num_perm // bands
+        self.k = shingle_k
+        self.text_col = text_col
+        self.id_col = id_col
+
+    def signature(self, text: str) -> np.ndarray:
+        return minhash_signature(_word_shingles(text.split(), self.k), self.a, self.b)
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        ids = batch[self.id_col].to_pylist()
+        texts = batch[self.text_col].to_pylist()
+        out_id, out_band, out_bh = [], [], []
+        for i, t in zip(ids, texts):
+            sig = self.signature(t or "")
+            for bnd in range(self.bands):
+                chunk = sig[bnd * self.rows_per_band : (bnd + 1) * self.rows_per_band]
+                bh = hashlib.blake2b(chunk.tobytes(), digest_size=8).digest()
+                out_id.append(i)
+                out_band.append(bnd)
+                out_bh.append(int.from_bytes(bh, "little") >> 1)
+        return pa.table(
+            {
+                "doc_id": pa.array(out_id, pa.int64()),
+                "band": pa.array(out_band, pa.int32()),
+                "band_hash": pa.array(out_bh, pa.int64()),
+            }
+        )
+
+
+def jaccard(a: set, b: set) -> float:
+    if not a and not b:
+        return 1.0
+    u = len(a | b)
+    return len(a & b) / u if u else 0.0
+
+
+def minhash_duplicate_pairs(
+    ds,
+    *,
+    threshold: float = 0.7,
+    num_perm: int = 64,
+    bands: int = 16,
+    shingle_k: int = 3,
+    text_lookup: dict[int, str] | None = None,
+    config: EngineConfig = DEFAULT,
+):
+    """MinHash-LSH near-dup pipeline → Dataset of (a, b, jaccard) pairs.
+
+    ``text_lookup`` (id → text) is broadcast for the verify step; pass None
+    to skip exact verification (signature-level candidates only). Candidate
+    generation is fully distributed; per-bucket pair expansion happens in
+    ``map_groups`` where buckets are small by construction.
+    """
+    import ray
+
+    hasher_kw = dict(num_perm=num_perm, bands=bands, shingle_k=shingle_k)
+    sig_ds = ds.map_batches(
+        MinHasher,
+        fn_constructor_kwargs=hasher_kw,
+        batch_format="pyarrow",
+        batch_size=config.batch_size,
+        concurrency=config.rewrite_concurrency,
+    )
+    lookup_ref = ray.put(text_lookup)
+    k = shingle_k
+    thr = threshold
+
+    def bucket_pairs(g: pa.Table) -> pa.Table:
+        ids = sorted(set(g["doc_id"].to_pylist()))
+        if len(ids) < 2:
+            return pa.table({"a": pa.array([], pa.int64()), "b": pa.array([], pa.int64()),
+                             "jaccard": pa.array([], pa.float64())})
+        lookup = ray.get(lookup_ref)
+        out_a, out_b, out_j = [], [], []
+        for x, y in itertools.combinations(ids, 2):
+            if lookup is not None:
+                j = jaccard(_word_shingles(lookup[x].split(), k), _word_shingles(lookup[y].split(), k))
+                if j < thr:
+                    continue
+            else:
+                j = -1.0
+            out_a.append(x)
+            out_b.append(y)
+            out_j.append(j)
+        return pa.table({"a": pa.array(out_a, pa.int64()), "b": pa.array(out_b, pa.int64()),
+                         "jaccard": pa.array(out_j, pa.float64())})
+
+    pairs = sig_ds.groupby(["band", "band_hash"]).map_groups(bucket_pairs, batch_format="pyarrow")
+
+    def dedup_pairs(g: pa.Table) -> pa.Table:
+        return g.slice(0, 1)
+
+    return pairs.groupby(["a", "b"]).map_groups(dedup_pairs, batch_format="pyarrow")
+
+
+# -- simhash -----------------------------------------------------------------
+
+
+def simhash64(tokens: list[str]) -> int:
+    if not tokens:
+        return 0
+    hs = np.fromiter(
+        (int.from_bytes(hashlib.blake2b(t.encode(), digest_size=8).digest(), "little") for t in tokens),
+        dtype=np.uint64,
+        count=len(tokens),
+    )
+    bits = ((hs[:, None] >> np.arange(64, dtype=np.uint64)[None, :]) & np.uint64(1)).astype(np.int64)
+    votes = (2 * bits - 1).sum(axis=0)
+    return int(((votes > 0).astype(np.uint64) << np.arange(64, dtype=np.uint64)).sum())
+
+
+def add_simhash(batch: pa.Table, *, text_col: str = "text", out_col: str = "simhash") -> pa.Table:
+    vals = [simhash64((t or "").split()) for t in batch[text_col].to_pylist()]
+    # store as int64 (reinterpret uint64 bits)
+    arr = np.array(vals, dtype=np.uint64).view(np.int64)
+    return batch.append_column(out_col, pa.array(arr, pa.int64()))
+
+
+def simhash_duplicate_pairs(ds, *, max_hamming: int = 3, id_col: str = "doc_id",
+                            text_col: str = "text", config: EngineConfig = DEFAULT):
+    """4×16-bit band blocking + Hamming verification → (a, b, hamming)."""
+    ds = ds.map_batches(
+        add_simhash, fn_kwargs=dict(text_col=text_col), batch_format="pyarrow",
+        batch_size=config.batch_size,
+    )
+
+    def explode(batch: pa.Table) -> pa.Table:
+        sh = batch[id_col].to_pylist()
+        sim = batch["simhash"].to_numpy(zero_copy_only=False).view(np.uint64)
+        out_id, out_band, out_key, out_sim = [], [], [], []
+        for i, s in zip(sh, sim):
+            for bnd in range(4):
+                out_id.append(i)
+                out_band.append(bnd)
+                out_key.append(int((s >> np.uint64(16 * bnd)) & np.uint64(0xFFFF)))
+                out_sim.append(int(s))
+        return pa.table({
+            "doc_id": pa.array(out_id, pa.int64()),
+            "band": pa.array(out_band, pa.int32()),
+            "key": pa.array(out_key, pa.int32()),
+            "sim": pa.array(np.array(out_sim, dtype=np.uint64).view(np.int64), pa.int64()),
+        })
+
+    ex = ds.map_batches(explode, batch_format="pyarrow", batch_size=config.batch_size)
+
+    mh = max_hamming
+
+    def bucket_pairs(g: pa.Table) -> pa.Table:
+        ids = g["doc_id"].to_pylist()
+        sims = g["sim"].to_numpy(zero_copy_only=False).view(np.uint64)
+        seen = {}
+        for i, s in zip(ids, sims):
+            seen[i] = s
+        out_a, out_b, out_h = [], [], []
+        for x, y in itertools.combinations(sorted(seen), 2):
+            d = int(bin(int(seen[x]) ^ int(seen[y])).count("1"))
+            if d <= mh:
+                out_a.append(x)
+                out_b.append(y)
+                out_h.append(d)
+        return pa.table({"a": pa.array(out_a, pa.int64()), "b": pa.array(out_b, pa.int64()),
+                         "hamming": pa.array(out_h, pa.int32())})
+
+    pairs = ex.groupby(["band", "key"]).map_groups(bucket_pairs, batch_format="pyarrow")
+    return pairs.groupby(["a", "b"]).map_groups(lambda g: g.slice(0, 1), batch_format="pyarrow")
+
+
+# -- n-gram jaccard (exact, within candidate groups) -------------------------
+
+
+def ngram_jaccard_pairs(ds, *, group_col: str = "source", threshold: float = 0.5,
+                        shingle_k: int = 3, id_col: str = "doc_id", text_col: str = "text"):
+    """Exact pairwise word-k-gram Jaccard within each group. Production use
+    pairs this with LSH buckets as the group; per-group cost is O(m²)."""
+    k, thr = shingle_k, threshold
+
+    def pairwise(g: pa.Table) -> pa.Table:
+        ids = g[id_col].to_pylist()
+        sh = [_word_shingles((t or "").split(), k) for t in g[text_col].to_pylist()]
+        order = np.argsort(ids)
+        out_a, out_b, out_j = [], [], []
+        for ii, jj in itertools.combinations(order, 2):
+            j = jaccard(sh[ii], sh[jj])
+            if j >= thr:
+                a, b = ids[ii], ids[jj]
+                if a > b:
+                    a, b = b, a
+                out_a.append(a)
+                out_b.append(b)
+                out_j.append(j)
+        return pa.table({"a": pa.array(out_a, pa.int64()), "b": pa.array(out_b, pa.int64()),
+                         "jaccard": pa.array(out_j, pa.float64())})
+
+    return ds.groupby(group_col).map_groups(pairwise, batch_format="pyarrow")
+
+
+# -- embedding cosine near-dup ----------------------------------------------
+
+
+def embedding_near_dup_pairs(ds, corpus: np.ndarray, ids: np.ndarray, *, threshold: float = 0.95,
+                             id_col: str = "vec_id", vec_col: str = "embedding",
+                             config: EngineConfig = DEFAULT):
+    """Pairs (a, b) with cosine ≥ threshold: per-batch float64 matmul against
+    the broadcast normalized corpus (ray.put once, fetched once per task)."""
+    import ray
+
+    corpus = corpus.astype(np.float64)
+    norms = np.linalg.norm(corpus, axis=1, keepdims=True)
+    corpus_n = corpus / np.maximum(norms, 1e-12)
+    ref = ray.put((corpus_n, ids.astype(np.int64)))
+    thr = threshold
+
+    def batch_pairs(batch: pa.Table) -> pa.Table:
+        mat_n, all_ids = ray.get(ref)
+        v = np.asarray(batch[vec_col].to_pylist(), dtype=np.float64)
+        bid = batch[id_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        vn = v / np.maximum(np.linalg.norm(v, axis=1, keepdims=True), 1e-12)
+        sims = vn @ mat_n.T  # (b, N)
+        out_a, out_b, out_s = [], [], []
+        for r in range(sims.shape[0]):
+            hit = np.flatnonzero(sims[r] >= thr)
+            for c in hit:
+                a, b = int(bid[r]), int(all_ids[c])
+                if a < b:  # each unordered pair once; also drops self-match
+                    out_a.append(a)
+                    out_b.append(b)
+                    out_s.append(float(sims[r, c]))
+        return pa.table({"a": pa.array(out_a, pa.int64()), "b": pa.array(out_b, pa.int64()),
+                         "cosine": pa.array(out_s, pa.float64())})
+
+    return ds.map_batches(batch_pairs, batch_format="pyarrow", batch_size=config.batch_size)

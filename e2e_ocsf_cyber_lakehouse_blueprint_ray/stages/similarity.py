@@ -1,0 +1,159 @@
+"""Similarity search over an embedding column (list<float>).
+
+- ``brute_force_topk``: the baseline — each batch does ONE float64 matmul
+  against a broadcast normalized query matrix (ray.put once), emits its
+  local top-k per query, and a tiny ``groupby(query_id)`` reduce merges
+  local top-ks into global top-ks. Data moved per batch: k rows per query,
+  not the corpus.
+- ``ivf_topk``: the scale path — k-means centroids (fit once on a sample,
+  deterministic seed, broadcast), per-batch cluster assignment, and each
+  query only scores rows whose cluster is among its ``nprobe`` nearest
+  centroids. Same output schema; recall < 1 by design.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+
+from ..config import EngineConfig, DEFAULT
+
+
+def _normalize(m: np.ndarray) -> np.ndarray:
+    m = m.astype(np.float64)
+    return m / np.maximum(np.linalg.norm(m, axis=1, keepdims=True), 1e-12)
+
+
+def _topk_rows(sims, bid, qids, k):
+    """local top-k rows (query_id, vec_id, cosine) from a (b, Q) sim matrix."""
+    out_q, out_v, out_s = [], [], []
+    for qi in range(sims.shape[1]):
+        col = sims[:, qi]
+        if len(col) > k:
+            idx = np.argpartition(-col, k)[:k]
+        else:
+            idx = np.arange(len(col))
+        for r in idx:
+            out_q.append(int(qids[qi]))
+            out_v.append(int(bid[r]))
+            out_s.append(float(col[r]))
+    return pa.table(
+        {
+            "query_id": pa.array(out_q, pa.int64()),
+            "vec_id": pa.array(out_v, pa.int64()),
+            "cosine": pa.array(out_s, pa.float64()),
+        }
+    )
+
+
+def _final_topk(k: int, exclude_self: bool):
+    def reduce_group(g: pa.Table) -> pa.Table:
+        q = g["query_id"].to_numpy(zero_copy_only=False)
+        v = g["vec_id"].to_numpy(zero_copy_only=False)
+        s = g["cosine"].to_numpy(zero_copy_only=False)
+        mask = np.ones(len(g), dtype=bool)
+        if exclude_self:
+            mask = v != q
+        # deterministic: sort by (-cosine, vec_id)
+        order = np.lexsort((v[mask], -s[mask]))[:k]
+        vv, ss = v[mask][order], s[mask][order]
+        return pa.table(
+            {
+                "query_id": pa.array([int(q[0])] * len(vv), pa.int64()),
+                "vec_id": pa.array(vv, pa.int64()),
+                "rank": pa.array(np.arange(1, len(vv) + 1, dtype=np.int64)),
+                "cosine": pa.array(ss, pa.float64()),
+            }
+        )
+
+    return reduce_group
+
+
+def brute_force_topk(
+    ds,
+    queries: np.ndarray,
+    query_ids: np.ndarray,
+    *,
+    k: int = 10,
+    exclude_self: bool = True,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    config: EngineConfig = DEFAULT,
+):
+    """Exact cosine top-k; returns Dataset (query_id, vec_id, rank, cosine)."""
+    import ray
+
+    qref = ray.put((_normalize(queries), query_ids.astype(np.int64)))
+
+    def local(batch: pa.Table) -> pa.Table:
+        qn, qids = ray.get(qref)
+        v = np.asarray(batch[vec_col].to_pylist(), dtype=np.float64)
+        bid = batch[id_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        vn = _normalize(v)
+        sims = vn @ qn.T  # (b, Q)
+        return _topk_rows(sims, bid, qids, k + (1 if exclude_self else 0))
+
+    local_ds = ds.map_batches(local, batch_format="pyarrow", batch_size=config.batch_size)
+    return local_ds.groupby("query_id").map_groups(_final_topk(k, exclude_self), batch_format="pyarrow")
+
+
+def kmeans_fit(sample: np.ndarray, n_clusters: int, *, iters: int = 10, seed: int = 11) -> np.ndarray:
+    """Plain deterministic Lloyd k-means on a (normalized) sample."""
+    x = _normalize(sample)
+    rng = np.random.default_rng(seed)
+    cent = x[rng.choice(len(x), size=min(n_clusters, len(x)), replace=False)]
+    for _ in range(iters):
+        assign = np.argmax(x @ cent.T, axis=1)
+        for c in range(len(cent)):
+            pts = x[assign == c]
+            if len(pts):
+                v = pts.mean(axis=0)
+                cent[c] = v / max(np.linalg.norm(v), 1e-12)
+    return cent
+
+
+def ivf_topk(
+    ds,
+    queries: np.ndarray,
+    query_ids: np.ndarray,
+    centroids: np.ndarray,
+    *,
+    k: int = 10,
+    nprobe: int = 4,
+    exclude_self: bool = True,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    config: EngineConfig = DEFAULT,
+):
+    """IVF-style ANN: only rows whose centroid is in the query's nprobe
+    nearest centroid set are scored. Approximate (recall < 1)."""
+    import ray
+
+    qn = _normalize(queries)
+    cent = _normalize(centroids)
+    probe = np.argsort(-(qn @ cent.T), axis=1)[:, :nprobe]  # (Q, nprobe)
+    qref = ray.put((qn, query_ids.astype(np.int64), cent, probe))
+
+    def local(batch: pa.Table) -> pa.Table:
+        qn_, qids, cent_, probe_ = ray.get(qref)
+        v = np.asarray(batch[vec_col].to_pylist(), dtype=np.float64)
+        bid = batch[id_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        vn = _normalize(v)
+        assign = np.argmax(vn @ cent_.T, axis=1)  # (b,)
+        sims = vn @ qn_.T  # (b, Q)
+        # mask out rows not in the query's probed clusters
+        allowed = np.zeros_like(sims, dtype=bool)
+        for qi in range(sims.shape[1]):
+            allowed[:, qi] = np.isin(assign, probe_[qi])
+        sims = np.where(allowed, sims, -2.0)
+        return _topk_rows(sims, bid, qids, k + (1 if exclude_self else 0))
+
+    local_ds = ds.map_batches(local, batch_format="pyarrow", batch_size=config.batch_size)
+    out = local_ds.groupby("query_id").map_groups(_final_topk(k, exclude_self), batch_format="pyarrow")
+
+    def drop_masked(batch: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        return batch.filter(pc.greater(batch["cosine"], -1.5))
+
+    return out.map_batches(drop_masked, batch_format="pyarrow")

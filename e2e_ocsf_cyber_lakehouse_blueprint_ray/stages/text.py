@@ -1,0 +1,160 @@
+"""Text-analysis operators for training-data pipelines.
+
+Not present in the reference (its payloads are audit events); these are the
+large-scale text-pipeline operators the graft adds as first-class components:
+language-ID (marker-word heuristic), quality scoring (length / word /
+stopword-ratio), token counting (whitespace regex), document fingerprinting
+(content hash + winnowing rolling-hash sketch).
+
+All are stateless vectorized ``map_batches`` functions except the winnowing
+sketch, whose per-row loop runs over a few hundred tokens per document (and
+is still batched). The list-column trick used throughout: split to an Arrow
+list array, flatten, apply a vectorized kernel to the flat child, and reduce
+back per row with ``np.add.reduceat`` over the list offsets — no Python per
+row.
+"""
+
+from __future__ import annotations
+
+import hashlib
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+
+TOKEN_SPLIT = r"\s+"
+
+#: marker words per language for the n-gram/stopword heuristic. Must stay in
+#: sync with the oracle SQL in pipelines/queries.py (same lists, same
+#: tie-break order).
+LANG_MARKERS: dict[str, list[str]] = {
+    "en": ["the", "and", "of", "to", "a", "in", "is", "that"],
+    "de": ["der", "die", "das", "und", "ist", "nicht", "ein", "zu"],
+    "es": ["el", "la", "los", "las", "es", "y", "un", "una"],
+    "fr": ["le", "la", "les", "et", "est", "un", "une", "de"],
+    "zh": ["的", "是", "了", "在", "我", "有", "和", "不"],
+}
+LANG_ORDER = ["en", "de", "es", "fr", "zh"]
+
+STOPWORDS = LANG_MARKERS["en"]
+
+
+def _token_lists(text: pa.Array | pa.ChunkedArray) -> pa.ListArray:
+    if isinstance(text, pa.ChunkedArray):
+        text = text.combine_chunks()
+    out = pc.split_pattern_regex(pc.utf8_trim_whitespace(text), TOKEN_SPLIT)
+    if isinstance(out, pa.ChunkedArray):
+        out = out.combine_chunks()
+    return out
+
+
+def _per_row_membership_counts(tokens: pa.ListArray, vocab: list[str]) -> np.ndarray:
+    """count of tokens ∈ vocab per row — flatten + is_in + reduceat."""
+    offsets = tokens.offsets.to_numpy(zero_copy_only=False)
+    flat = tokens.flatten()
+    if len(flat) == 0:
+        return np.zeros(len(tokens), dtype=np.int64)
+    hits = pc.is_in(flat, value_set=pa.array(vocab)).to_numpy(zero_copy_only=False)
+    hits = np.where(hits, 1, 0).astype(np.int64)
+    cs = np.concatenate([[0], np.cumsum(hits)])
+    return cs[offsets[1:]] - cs[offsets[:-1]]
+
+
+def _set_col(batch: pa.Table, name: str, arr) -> pa.Table:
+    if name in batch.schema.names:
+        return batch.set_column(batch.schema.get_field_index(name), name, arr)
+    return batch.append_column(name, arr)
+
+
+def token_count(batch: pa.Table, *, text_col: str = "text", out_col: str = "n_tokens") -> pa.Table:
+    toks = _token_lists(batch[text_col])
+    return _set_col(batch, out_col, pc.cast(pc.list_value_length(toks), pa.int64()))
+
+
+def quality_score(batch: pa.Table, *, text_col: str = "text") -> pa.Table:
+    """n_chars, n_words, stop_ratio — the classic cheap quality features."""
+    text = batch[text_col]
+    toks = _token_lists(text)
+    n_words = pc.cast(pc.list_value_length(toks), pa.int64())
+    stop_hits = _per_row_membership_counts(toks, STOPWORDS)
+    nw = n_words.to_numpy(zero_copy_only=False).astype(np.float64)
+    stop_ratio = stop_hits / np.maximum(nw, 1.0)
+    out = _set_col(batch, "n_chars", pc.cast(pc.utf8_length(text), pa.int64()))
+    out = _set_col(out, "n_words", n_words)
+    return _set_col(out, "stop_ratio", pa.array(stop_ratio, pa.float64()))
+
+
+def lang_id(batch: pa.Table, *, text_col: str = "text", out_col: str = "pred_lang") -> pa.Table:
+    """Marker-word language ID; cascade tie-break in LANG_ORDER (must match
+    the oracle SQL's CASE chain exactly)."""
+    toks = _token_lists(batch[text_col])
+    counts = np.stack(
+        [_per_row_membership_counts(toks, LANG_MARKERS[lg]) for lg in LANG_ORDER]
+    )  # (L, n)
+    n = counts.shape[1]
+    pred = np.full(n, "und", dtype=object)
+    assigned = np.zeros(n, dtype=bool)
+    any_hit = counts.sum(axis=0) > 0
+    for i, lg in enumerate(LANG_ORDER):
+        ge_all = np.ones(n, dtype=bool)
+        for j in range(len(LANG_ORDER)):
+            ge_all &= counts[i] >= counts[j]
+        take = ge_all & ~assigned & any_hit
+        pred[take] = lg
+        assigned |= take
+    return batch.append_column(out_col, pa.array(pred, pa.string()))
+
+
+def fingerprint_md5(batch: pa.Table, *, text_col: str = "text", out_col: str = "fp_md5") -> pa.Table:
+    """Content fingerprint = md5 hex (oracle: DuckDB ``md5(text)``)."""
+    vals = [
+        hashlib.md5(t.encode("utf-8")).hexdigest() if t is not None else None
+        for t in batch[text_col].to_pylist()
+    ]
+    return batch.append_column(out_col, pa.array(vals, pa.string()))
+
+
+_FP_MOD = np.uint64((1 << 61) - 1)
+_FP_BASE = np.uint64(1_000_003)
+
+
+def winnow_fingerprint(
+    batch: pa.Table, *, text_col: str = "text", k: int = 5, window: int = 4, out_col: str = "fp_winnow"
+) -> pa.Table:
+    """Winnowing document sketch (Schleimer et al., SIGMOD'03 idea): rolling
+    polynomial hash over k-token grams, min per sliding window, distinct
+    mins sorted → stable int64 digest of the sketch."""
+    toks = _token_lists(batch[text_col])
+    offsets = toks.offsets.to_numpy(zero_copy_only=False)
+    flat = toks.flatten().to_pylist()
+    tok_h = np.fromiter(
+        (int.from_bytes(hashlib.blake2b(t.encode(), digest_size=8).digest(), "little") for t in flat),
+        dtype=np.uint64,
+        count=len(flat),
+    )
+    out = np.zeros(len(toks), dtype=np.int64)
+    for r in range(len(toks)):
+        h = tok_h[offsets[r] : offsets[r + 1]]
+        if len(h) == 0:
+            continue
+        if len(h) < k:
+            grams = np.array([h.astype(np.uint64).sum() % _FP_MOD], dtype=np.uint64)
+        else:
+            # vectorized k-gram polynomial hash via cumulative powers
+            m = len(h) - k + 1
+            grams = np.zeros(m, dtype=np.uint64)
+            acc = np.zeros(len(h) + 1, dtype=np.uint64)
+            for i in range(k):
+                grams = (grams * _FP_BASE + h[i : i + m]) % _FP_MOD
+            _ = acc
+        if len(grams) >= window:
+            idx = np.arange(len(grams) - window + 1)[:, None] + np.arange(window)
+            mins = grams[idx].min(axis=1)
+        else:
+            mins = grams.min(keepdims=True)
+        sketch = np.unique(mins)
+        digest = np.uint64(0)
+        for v in sketch:
+            digest = (digest * _FP_BASE + v) % _FP_MOD
+        out[r] = np.int64(digest)
+    return batch.append_column(out_col, pa.array(out, pa.int64()))

@@ -1,0 +1,190 @@
+"""Training-data operators: text analysis, dedup family, similarity,
+multimodal plumbing — over the driver testdata tables."""
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+import pytest
+
+from e2e_ocsf_cyber_lakehouse_blueprint_ray import config as cfg
+from e2e_ocsf_cyber_lakehouse_blueprint_ray.stages import dedup, multimodal, similarity, text
+
+SF = "/root/testdata/sf0.001"
+CONF = cfg.test_config()
+
+
+@pytest.fixture(scope="module")
+def docs_ds(ray_session):
+    import ray.data as rd
+
+    return rd.read_parquet(f"{SF}/documents.parquet")
+
+
+@pytest.fixture(scope="module")
+def emb(ray_session):
+    import pyarrow.parquet as pq
+
+    t = pq.read_table(f"{SF}/embeddings.parquet")
+    mat = np.asarray(t["embedding"].to_pylist(), dtype=np.float64)
+    ids = t["vec_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+    return t, mat, ids
+
+
+def test_token_count_and_quality(docs_ds):
+    out = docs_ds.map_batches(text.quality_score, batch_format="pyarrow").take_all()
+    import re
+
+    for r in out[:50]:
+        toks = re.split(r"\s+", r["text"].strip())
+        assert r["n_words"] == len(toks)
+        assert r["n_chars"] == len(r["text"])
+        hits = sum(1 for t in toks if t in text.STOPWORDS)
+        assert abs(r["stop_ratio"] - hits / max(1, len(toks))) < 1e-12
+
+
+def test_lang_id_runs_and_is_deterministic(docs_ds):
+    a = docs_ds.map_batches(text.lang_id, batch_format="pyarrow").take_all()
+    b = docs_ds.map_batches(text.lang_id, batch_format="pyarrow").take_all()
+    pa_ = {r["doc_id"]: r["pred_lang"] for r in a}
+    pb = {r["doc_id"]: r["pred_lang"] for r in b}
+    assert pa_ == pb
+    assert set(pa_.values()) <= {"en", "de", "es", "fr", "zh", "und"}
+
+
+def test_fingerprints(docs_ds):
+    out = docs_ds.map_batches(text.fingerprint_md5, batch_format="pyarrow").take_all()
+    import hashlib
+
+    r = out[0]
+    assert r["fp_md5"] == hashlib.md5(r["text"].encode()).hexdigest()
+    w = docs_ds.map_batches(text.winnow_fingerprint, batch_format="pyarrow").take_all()
+    assert len({x["fp_winnow"] for x in w}) > len(w) // 2  # mostly distinct
+
+
+def test_exact_dedup_with_planted_dupes(ray_session):
+    import ray.data as rd
+
+    base = pa.table(
+        {
+            "doc_id": pa.array([1, 2, 3, 4, 5], pa.int64()),
+            "text": pa.array(["aa", "bb", "aa", "cc", "bb"]),
+        }
+    )
+    out = dedup.exact_dedup(rd.from_arrow(base), config=CONF).take_all()
+    got = {r["text"]: (r["doc_id"], r["dupes"]) for r in out}
+    assert got == {"aa": (1, 2), "bb": (2, 2), "cc": (4, 1)}
+
+
+def test_minhash_lsh_finds_planted_near_dupes(ray_session):
+    import ray.data as rd
+
+    words = ["alpha beta gamma delta epsilon zeta eta theta iota kappa"] * 1
+    t0 = " ".join(f"w{i}" for i in range(60))
+    t1 = t0.replace("w10", "w10x")  # near-dup of t0
+    t2 = " ".join(f"v{i}" for i in range(60))  # unrelated
+    base = pa.table(
+        {"doc_id": pa.array([0, 1, 2], pa.int64()), "text": pa.array([t0, t1, t2])}
+    )
+    lookup = {0: t0, 1: t1, 2: t2}
+    pairs = dedup.minhash_duplicate_pairs(
+        rd.from_arrow(base), threshold=0.7, text_lookup=lookup, config=CONF
+    ).take_all()
+    assert {(p["a"], p["b"]) for p in pairs} == {(0, 1)}
+    assert pairs[0]["jaccard"] > 0.8
+    _ = words
+
+
+def test_simhash_finds_planted_near_dupes(ray_session):
+    import ray.data as rd
+
+    t0 = " ".join(f"w{i}" for i in range(100))
+    t1 = t0 + " extra"
+    t2 = " ".join(f"v{i}" for i in range(100))
+    base = pa.table({"doc_id": pa.array([0, 1, 2], pa.int64()), "text": pa.array([t0, t1, t2])})
+    pairs = dedup.simhash_duplicate_pairs(rd.from_arrow(base), max_hamming=6, config=CONF).take_all()
+    assert (0, 1) in {(p["a"], p["b"]) for p in pairs}
+    assert all({p["a"], p["b"]} != {0, 2} for p in pairs)
+
+
+def test_ngram_jaccard_pairs(ray_session):
+    import ray.data as rd
+
+    t0 = " ".join(f"w{i}" for i in range(40))
+    t1 = t0.replace("w5", "w5x")
+    base = pa.table(
+        {
+            "doc_id": pa.array([0, 1, 2], pa.int64()),
+            "source": pa.array(["s", "s", "s"]),
+            "text": pa.array([t0, t1, "zz yy xx ww vv uu"]),
+        }
+    )
+    pairs = dedup.ngram_jaccard_pairs(rd.from_arrow(base), threshold=0.5).take_all()
+    assert {(p["a"], p["b"]) for p in pairs} == {(0, 1)}
+
+
+def test_embedding_near_dup_and_topk_match_bruteforce(emb, ray_session):
+    import ray.data as rd
+
+    t, mat, ids = emb
+    ds = rd.from_arrow(t)
+    # near-dup pairs vs numpy oracle
+    thr = 0.95
+    got = dedup.embedding_near_dup_pairs(ds, mat, ids, threshold=thr, config=CONF).take_all()
+    n = mat / np.maximum(np.linalg.norm(mat, axis=1, keepdims=True), 1e-12)
+    sims = n @ n.T
+    exp = {
+        (int(ids[i]), int(ids[j]))
+        for i in range(len(ids))
+        for j in range(len(ids))
+        if ids[i] < ids[j] and sims[i, j] >= thr
+    }
+    assert {(p["a"], p["b"]) for p in got} == exp
+
+    # top-k matches brute-force numpy oracle
+    k = 5
+    q = mat[:3]
+    qi = ids[:3]
+    out = similarity.brute_force_topk(ds, q, qi, k=k, config=CONF).take_all()
+    by_q = {}
+    for r in out:
+        by_q.setdefault(r["query_id"], []).append((r["rank"], r["vec_id"]))
+    for qq in qi:
+        qrow = np.flatnonzero(ids == qq)[0]
+        col = sims[:, qrow].copy()
+        mask = ids != qq
+        order = np.lexsort((ids[mask], -col[mask]))[:k]
+        expect = [int(ids[mask][o]) for o in order]
+        got_ids = [v for _, v in sorted(by_q[int(qq)])]
+        assert got_ids == expect
+
+
+def test_ivf_topk_recall(emb, ray_session):
+    import ray.data as rd
+
+    t, mat, ids = emb
+    ds = rd.from_arrow(t)
+    cent = similarity.kmeans_fit(mat, 8)
+    q, qi = mat[:3], ids[:3]
+    approx = similarity.ivf_topk(ds, q, qi, cent, k=5, nprobe=4, config=CONF).take_all()
+    exact = similarity.brute_force_topk(ds, q, qi, k=5, config=CONF).take_all()
+    ex = {(r["query_id"], r["vec_id"]) for r in exact}
+    ap = {(r["query_id"], r["vec_id"]) for r in approx}
+    assert len(ap & ex) / len(ex) >= 0.5  # recall with half the probes
+
+
+def test_multimodal_plumbing(docs_ds, ray_session):
+    media = docs_ds.map_batches(multimodal.synthesize_payloads, batch_format="pyarrow")
+    decoded = media.map_batches(
+        multimodal.ImageDecoder, batch_format="pyarrow", batch_size=64, concurrency=2
+    ).take_all()
+    assert all(r["width"] is not None and len(r["feature"]) == 8 for r in decoded)
+    frames = media.map_batches(
+        multimodal.FrameSampler, fn_constructor_kwargs=dict(n_frames=3), batch_format="pyarrow",
+        batch_size=64, concurrency=2,
+    ).take_all()
+    per = {}
+    for r in frames:
+        per.setdefault(r["media_id"], []).append(r["frame_idx"])
+    assert all(sorted(v) == [0, 1, 2] for v in per.values())
+    with pytest.raises(NotImplementedError):
+        multimodal.ImageDecoder(use_real_codec=True)
