@@ -1,0 +1,201 @@
+"""Benchmark harness.
+
+Headline: the maintenance pipeline (bin-packing compaction → Z-order
+cluster → copy-on-write MERGE → verification scan) over the synthetic
+FIXTURES.md transcript table at the scale matching $GRAFT_SF_DIR, plus a
+representative query set over the testdata tables.
+
+Prints ONE JSON line:
+  {"metric": ..., "value": <headline seconds>, "unit": "sec",
+   "queries": {...}, "sf": ..., "num_cpus": N, "turns_per_sec": ...}
+
+``--scaling`` runs the same bench in two fresh processes at
+RAY_GRAFT_CPUS=8 and =32 on the same input (sandbox stand-in for N vs 4N
+nodes) and reports both throughputs + scaling efficiency.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+SF_DIR = os.environ.get("GRAFT_SF_DIR", "/root/testdata/sf0.1")
+NUM_CPUS = int(os.environ.get("RAY_GRAFT_CPUS", "32"))
+CACHE = "/tmp/lakeray/bench-cache"
+
+BENCH_QUERIES = [
+    "q01_pricing_summary",
+    "q03_top_orders",
+    "q_mktsegment_orders",
+    "q_events_hourly",
+    "q_events_sessionize",
+    "q_dedup_exact",
+    "q_lang_id",
+    "q_ann_topk",
+]
+
+
+def sf_value() -> float:
+    base = os.path.basename(SF_DIR.rstrip("/"))
+    return float(base.replace("sf", "")) if base.startswith("sf") else 0.1
+
+
+def cached_transcripts(sf: float):
+    import pyarrow.parquet as pq
+
+    os.makedirs(CACHE, exist_ok=True)
+    path = f"{CACHE}/transcripts-sf{sf}.parquet"
+    src_path = f"{CACHE}/merge-src-sf{sf}.parquet"
+    if not (os.path.exists(path) and os.path.exists(src_path)):
+        from e2e_ocsf_cyber_lakehouse_blueprint_ray import synth
+
+        base = synth.transcripts(sf)
+        pq.write_table(base, path + ".tmp", compression="zstd")
+        os.replace(path + ".tmp", path)
+        src = synth.merge_source(base)
+        pq.write_table(src, src_path + ".tmp", compression="zstd")
+        os.replace(src_path + ".tmp", src_path)
+    return pq.read_table(path), pq.read_table(src_path)
+
+
+def run_bench() -> dict:
+    import ray
+
+    ray.init(
+        address="local",
+        num_cpus=NUM_CPUS,
+        include_dashboard=False,
+        ignore_reinit_error=True,
+        logging_level="ERROR",
+    )
+    from ray.data import DataContext
+
+    ctx = DataContext.get_current()
+    ctx.enable_progress_bars = False
+
+    from e2e_ocsf_cyber_lakehouse_blueprint_ray import config as cfg
+    from e2e_ocsf_cyber_lakehouse_blueprint_ray.schema import TRANSCRIPT, TRANSCRIPT_STATS_COLS
+    from e2e_ocsf_cyber_lakehouse_blueprint_ray.stages import cluster, compact, merge
+    from e2e_ocsf_cyber_lakehouse_blueprint_ray.table import Table
+
+    sf = sf_value()
+    base, src = cached_transcripts(sf)
+
+    conf = cfg.EngineConfig(
+        num_partitions=16,
+        target_file_bytes=32 * 1024 * 1024,
+        rewrite_concurrency=max(2, NUM_CPUS // 2),
+        batch_size=64 * 1024,
+    )
+    work = f"/tmp/lakeray/bench-tbl-{os.getpid()}"
+    shutil.rmtree(work, ignore_errors=True)
+    t = Table.create(
+        work,
+        TRANSCRIPT,
+        partition_spec=f"hash:conv_id:{conf.num_partitions}",
+        config=conf,
+        stats_cols=TRANSCRIPT_STATS_COLS,
+    )
+    t.write_table(base, rows_per_file=5000)  # many small files (untimed setup)
+    n_rows = base.num_rows
+
+    # warm page cache / object store with an untimed read
+    t.scan(columns=["conv_id"]).count()
+
+    t0 = time.time()
+    compact.compact(t)
+    t_compact = time.time() - t0
+
+    t1 = time.time()
+    cluster.cluster(t, mode="global", curve="zorder")
+    t_cluster = time.time() - t1
+
+    t2 = time.time()
+    merge.merge(t, src)
+    t_merge = time.time() - t2
+
+    t3 = time.time()
+    scanned = t.scan(columns=["conv_id", "turn_idx"]).count()
+    t_scan = time.time() - t3
+
+    headline = time.time() - t0
+    shutil.rmtree(work, ignore_errors=True)
+
+    # representative operator queries over the testdata tables
+    from e2e_ocsf_cyber_lakehouse_blueprint_ray.pipelines import queries as q
+
+    qtimes = {}
+    reg = q.queries()
+    for name in BENCH_QUERIES:
+        tq = time.time()
+        res = reg[name](SF_DIR)
+        if hasattr(res, "materialize"):
+            res.materialize()
+        qtimes[name] = round(time.time() - tq, 3)
+    qtimes.update(
+        {
+            "maint_compact": round(t_compact, 3),
+            "maint_cluster_zorder": round(t_cluster, 3),
+            "maint_merge": round(t_merge, 3),
+            "maint_verify_scan": round(t_scan, 3),
+        }
+    )
+
+    out = {
+        "metric": "maintenance pipeline (compact + zorder-cluster + merge + scan) wall time",
+        "value": round(headline, 3),
+        "unit": "sec",
+        "queries": qtimes,
+        "sf": sf,
+        "num_cpus": NUM_CPUS,
+        "rows": n_rows,
+        "scanned_rows": scanned,
+        "turns_per_sec": round(n_rows * 3 / headline, 1),
+    }
+    ray.shutdown()
+    return out
+
+
+def run_scaling():
+    import subprocess
+
+    def one(ncpu: int) -> dict:
+        env = dict(os.environ, RAY_GRAFT_CPUS=str(ncpu))
+        p = subprocess.run(
+            [sys.executable, os.path.abspath(__file__)],
+            env=env,
+            capture_output=True,
+            text=True,
+            check=True,
+        )
+        return json.loads(p.stdout.strip().splitlines()[-1])
+
+    lo, hi = 8, 32
+    r_lo = one(lo)
+    r_hi = one(hi)
+    eff = (r_lo["value"] / r_hi["value"]) / (hi / lo)
+    print(
+        json.dumps(
+            {
+                "sec_8": r_lo["value"],
+                "sec_32": r_hi["value"],
+                "turns_per_sec_8": r_lo["turns_per_sec"],
+                "turns_per_sec_32": r_hi["turns_per_sec"],
+                "scaling_efficiency": round(eff, 3),
+                "sf": r_lo["sf"],
+                "rows": r_lo["rows"],
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    if "--scaling" in sys.argv:
+        run_scaling()
+    else:
+        print(json.dumps(run_bench()))

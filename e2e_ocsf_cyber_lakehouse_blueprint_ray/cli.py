@@ -1,0 +1,125 @@
+"""CLI entry point — the ``ray job submit`` surface.
+
+On a real cluster each command runs as a Ray job against a shared table dir:
+
+    ray job submit --working-dir . -- python -m e2e_ocsf_cyber_lakehouse_blueprint_ray.cli \
+        compact --table /data/transcripts
+    ... cli cluster --table /data/transcripts --mode global --curve zorder
+    ... cli merge   --table /data/transcripts --source /data/edits.parquet
+    ... cli expire  --table /data/transcripts --keep 3
+    ... cli ingest  --table /data/bronze_github --source-dir /logs/github --source github
+    ... cli medallion --root /data/lakehouse --fixtures /logs
+
+In this sandbox the same commands run standalone (Ray local mode auto-init,
+guarded). The reference's analog surface is the Databricks pipeline run +
+the manual setup notebooks (/root/reference/README.md:47-52,
+utilities/pre_setup_ocsf_tables.py, post_setup_ocsf_tables.py).
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+import time
+
+
+def _ensure_ray():
+    import ray
+
+    if not ray.is_initialized():
+        ray.init(
+            address=os.environ.get("RAY_ADDRESS", "local"),
+            include_dashboard=False,
+            ignore_reinit_error=True,
+            logging_level="ERROR",
+        )
+    from ray.data import DataContext
+
+    DataContext.get_current().enable_progress_bars = False
+
+
+def main(argv=None) -> int:
+    p = argparse.ArgumentParser(prog="lakeray", description=__doc__)
+    sub = p.add_subparsers(dest="cmd", required=True)
+
+    def add_table(sp):
+        sp.add_argument("--table", required=True)
+        sp.add_argument("--use-actor", action="store_true", help="commit via metastore actor")
+
+    sp = sub.add_parser("compact")
+    add_table(sp)
+    sp = sub.add_parser("cluster")
+    add_table(sp)
+    sp.add_argument("--mode", default="global", choices=["global", "partition"])
+    sp.add_argument("--curve", default="zorder", choices=["zorder", "hilbert"])
+    sp = sub.add_parser("merge")
+    add_table(sp)
+    sp.add_argument("--source", required=True, help="parquet file with transcript cols + op")
+    sp = sub.add_parser("expire")
+    add_table(sp)
+    sp.add_argument("--keep", type=int, default=3)
+    sp = sub.add_parser("ingest")
+    add_table(sp)
+    sp.add_argument("--source-dir", required=True)
+    sp.add_argument("--source", required=True, choices=["github", "slack", "atlassian"])
+    sp = sub.add_parser("medallion")
+    sp.add_argument("--root", required=True)
+    sp.add_argument("--fixtures", required=True)
+    sp = sub.add_parser("snapshots")
+    sp.add_argument("--table", required=True)
+
+    args = p.parse_args(argv)
+    _ensure_ray()
+
+    from .table import Table
+
+    t0 = time.time()
+    out: dict = {"cmd": args.cmd}
+    if args.cmd == "compact":
+        from .stages import compact
+
+        out["snapshot"] = compact.compact(Table(args.table), use_actor=args.use_actor)
+    elif args.cmd == "cluster":
+        from .stages import cluster
+
+        out["snapshot"] = cluster.cluster(
+            Table(args.table), mode=args.mode, curve=args.curve, use_actor=args.use_actor
+        )
+    elif args.cmd == "merge":
+        import pyarrow.parquet as pq
+
+        from .stages import merge
+
+        out["snapshot"] = merge.merge(
+            Table(args.table), pq.read_table(args.source), use_actor=args.use_actor
+        )
+    elif args.cmd == "expire":
+        from .stages import expire
+
+        out.update(expire.expire_snapshots(Table(args.table), keep_last=args.keep))
+    elif args.cmd == "ingest":
+        from .functions.meta import BronzeMeta
+        from .sources.jsonl import ingest_jsonl
+
+        sid, new = ingest_jsonl(Table(args.table), args.source_dir, BronzeMeta(args.source))
+        out.update({"snapshot": sid, "new_files": len(new)})
+    elif args.cmd == "medallion":
+        from .pipelines.medallion import Medallion
+
+        Medallion(args.root).run_all(args.fixtures)
+        out["root"] = args.root
+    elif args.cmd == "snapshots":
+        from .state import manifest
+
+        t = Table(args.table)
+        out["current"] = t.current_snapshot_id()
+        out["snapshots"] = manifest.list_snapshot_ids(t.dir)
+    out["sec"] = round(time.time() - t0, 3)
+    print(json.dumps(out))
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -1,0 +1,790 @@
+"""Driver-facing query surface: one entry per operator (SURVEY.md §2 + the
+training-data operators), each with a DuckDB oracle where SQL can express it.
+
+Float discipline (the driver hashes result values): never ship a multi-term
+float REDUCTION — per-row arithmetic on identical input doubles is bit-
+deterministic across engines, so monetary/metric aggregates round PER ROW to
+integer cents via ``FLOOR(x*scale + 0.5)`` (half-up, positive domain) on BOTH
+sides, sum exact int64s, and derive any ratio from those identical integers.
+Raw stored doubles (e.g. ``l_extendedprice``) hash fine untouched.
+
+Join strategy at these shapes: every dimension side (customer/orders/nation/
+supplier at the oracle scale, or any genuinely small side at 100 TB) is a
+broadcast — ``ray.put`` once, ``np.searchsorted`` lookup per batch — so the
+fact table never shuffles. Aggregations pre-reduce per batch
+(``pa.Table.group_by``) before the small cross-block ``groupby``.
+"""
+
+from __future__ import annotations
+
+import os
+import shutil
+import tempfile
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+
+from .. import config as cfg
+from ..stages import cluster as cluster_mod
+from ..stages import compact as compact_mod
+from ..stages import dedup as dedup_mod
+from ..stages import expire as expire_mod
+from ..stages import merge as merge_mod
+from ..stages import similarity as similarity_mod
+from ..stages import text as text_mod
+from ..stages import multimodal as multimodal_mod
+from . import derive
+
+CONF = cfg.test_config(num_partitions=8)
+
+
+def _read(sf_dir: str, table: str, columns=None):
+    import ray.data as rd
+
+    return rd.read_parquet(f"{sf_dir}/{table}.parquet", columns=columns)
+
+
+def _pq(sf_dir: str, table: str, columns=None) -> pa.Table:
+    import pyarrow.parquet as pq
+
+    return pq.read_table(f"{sf_dir}/{table}.parquet", columns=columns)
+
+
+def _cents(arr, scale: int) -> np.ndarray:
+    """FLOOR(x*scale + 0.5) as int64 — must mirror the SQL expression."""
+    x = np.asarray(arr, dtype=np.float64)
+    return np.floor(x * scale + 0.5).astype(np.int64)
+
+
+def _batch_group_sums(batch: pa.Table, keys: list[str], sums: dict[str, pa.Array]) -> pa.Table:
+    """In-batch partial aggregation (combiner before the shuffle)."""
+    t = pa.table({**{k: batch[k] for k in keys}, **sums})
+    return t.group_by(keys).aggregate([(c, "sum") for c in sums])
+
+
+def _final_sums(ds, keys: list[str], cols: list[str]):
+    """Tiny cross-block reduce of the partials."""
+    agg = ds.groupby(keys).sum([f"{c}_sum" for c in cols])
+
+    def rename(b: pa.Table) -> pa.Table:
+        for c in cols:
+            i = b.schema.get_field_index(f"sum({c}_sum)")
+            b = b.set_column(i, c, b[f"sum({c}_sum)"])
+        return b
+
+    return agg.map_batches(rename, batch_format="pyarrow")
+
+
+def _lookup_ref(keys: np.ndarray, *value_arrays: np.ndarray):
+    import ray
+
+    order = np.argsort(keys)
+    return ray.put((keys[order], [v[order] for v in value_arrays]))
+
+
+def _lookup(ref, probe: np.ndarray):
+    """Broadcast hash-free join: sorted keys + searchsorted. Returns
+    (found_mask, [values...])."""
+    import ray
+
+    keys, vals = ray.get(ref)
+    pos = np.searchsorted(keys, probe)
+    pos_c = np.clip(pos, 0, len(keys) - 1)
+    found = keys[pos_c] == probe
+    return found, [v[pos_c] for v in vals]
+
+
+# ---------------------------------------------------------------------------
+# TPC-H-ish relational operators
+# ---------------------------------------------------------------------------
+
+
+def q01_pricing_summary(sf_dir: str):
+    """Filter + grouped aggregation with per-batch partial sums (M-agg)."""
+    ds = _read(sf_dir, "lineitem",
+               ["l_returnflag", "l_linestatus", "l_quantity", "l_extendedprice", "l_discount", "l_shipdate"])
+    cut = np.datetime64("1998-01-01T00:00:00.000000")
+
+    def partial(b: pa.Table) -> pa.Table:
+        b = b.filter(pc.less(b["l_shipdate"], pa.scalar(cut.item(), pa.timestamp("us"))))
+        qty = np.asarray(b["l_quantity"].to_numpy(zero_copy_only=False), dtype=np.float64)
+        ep = np.asarray(b["l_extendedprice"].to_numpy(zero_copy_only=False), dtype=np.float64)
+        disc = np.asarray(b["l_discount"].to_numpy(zero_copy_only=False), dtype=np.float64)
+        return _batch_group_sums(
+            b,
+            ["l_returnflag", "l_linestatus"],
+            {
+                "sum_qty": pa.array(_cents(qty, 100)),
+                "sum_base_price": pa.array(_cents(ep, 100)),
+                "sum_disc_price": pa.array(_cents(ep * (1.0 - disc), 10000)),
+                "n_rows": pa.array(np.ones(b.num_rows, dtype=np.int64)),
+            },
+        )
+
+    ds = ds.map_batches(partial, batch_format="pyarrow", batch_size=CONF.batch_size)
+    out = _final_sums(ds, ["l_returnflag", "l_linestatus"],
+                      ["sum_qty", "sum_base_price", "sum_disc_price", "n_rows"])
+
+    def derive_avg(b: pa.Table) -> pa.Table:
+        avg = (
+            b["sum_qty"].to_numpy(zero_copy_only=False).astype(np.float64)
+            / 100.0
+            / b["n_rows"].to_numpy(zero_copy_only=False)
+        )
+        return b.append_column("avg_qty", pa.array(avg, pa.float64()))
+
+    return out.map_batches(derive_avg, batch_format="pyarrow")
+
+
+def q03_top_orders(sf_dir: str):
+    """3-way broadcast join + grouped sum + deterministic top-10."""
+    cust = _pq(sf_dir, "customer", ["c_custkey", "c_mktsegment"])
+    seg_keys = cust.filter(pc.equal(cust["c_mktsegment"], "BUILDING"))["c_custkey"].to_numpy(zero_copy_only=False)
+    orders = _pq(sf_dir, "orders", ["o_orderkey", "o_custkey", "o_orderdate"])
+    cut = np.datetime64("1998-01-01T00:00:00.000000")
+    om = (
+        np.isin(orders["o_custkey"].to_numpy(zero_copy_only=False), seg_keys)
+        & (orders["o_orderdate"].to_numpy(zero_copy_only=False) < cut)
+    )
+    okeys = orders["o_orderkey"].to_numpy(zero_copy_only=False)[om]
+    odates = orders["o_orderdate"].to_numpy(zero_copy_only=False)[om]
+    ref = _lookup_ref(okeys, odates)
+
+    ds = _read(sf_dir, "lineitem", ["l_orderkey", "l_extendedprice", "l_discount", "l_shipdate"])
+
+    def partial(b: pa.Table) -> pa.Table:
+        ship = b["l_shipdate"].to_numpy(zero_copy_only=False)
+        b = b.filter(pa.array(ship > cut))
+        found, (dates,) = _lookup(ref, b["l_orderkey"].to_numpy(zero_copy_only=False))
+        b = b.filter(pa.array(found))
+        dates = dates[found]
+        ep = b["l_extendedprice"].to_numpy(zero_copy_only=False).astype(np.float64)
+        disc = b["l_discount"].to_numpy(zero_copy_only=False).astype(np.float64)
+        t = pa.table(
+            {
+                "o_orderkey": b["l_orderkey"],
+                "o_orderdate": pa.array(dates, pa.timestamp("us")),
+                "revenue_c": pa.array(_cents(ep * (1.0 - disc), 10000)),
+            }
+        )
+        return t.group_by(["o_orderkey", "o_orderdate"]).aggregate([("revenue_c", "sum")])
+
+    ds = ds.map_batches(partial, batch_format="pyarrow", batch_size=CONF.batch_size)
+    agg = ds.groupby(["o_orderkey", "o_orderdate"]).sum("revenue_c_sum")
+
+    def rename(b: pa.Table) -> pa.Table:
+        i = b.schema.get_field_index("sum(revenue_c_sum)")
+        return b.set_column(i, "revenue_c", b["sum(revenue_c_sum)"])
+
+    agg = agg.map_batches(rename, batch_format="pyarrow")
+    return agg.sort(["revenue_c", "o_orderkey"], descending=[True, False]).limit(10)
+
+
+def q05_region_revenue(sf_dir: str):
+    """Dimension-chain broadcast join (region→nation→supplier/customer→orders)."""
+    nation = _pq(sf_dir, "nation")
+    region = _pq(sf_dir, "region")
+    asia = region.filter(pc.equal(region["r_name"], "ASIA"))["r_regionkey"].to_numpy(zero_copy_only=False)
+    nmask = np.isin(nation["n_regionkey"].to_numpy(zero_copy_only=False), asia)
+    nkeys = nation["n_nationkey"].to_numpy(zero_copy_only=False)[nmask]
+    nnames = np.array(nation["n_name"].to_pylist(), dtype=object)[nmask]
+    nk2name = dict(zip(nkeys.tolist(), nnames.tolist()))
+
+    supp = _pq(sf_dir, "supplier", ["s_suppkey", "s_nationkey"])
+    sk = supp["s_suppkey"].to_numpy(zero_copy_only=False)
+    snat = supp["s_nationkey"].to_numpy(zero_copy_only=False).astype(np.int64)
+    sref = _lookup_ref(sk, snat)
+
+    cust = _pq(sf_dir, "customer", ["c_custkey", "c_nationkey"])
+    ck = cust["c_custkey"].to_numpy(zero_copy_only=False)
+    cnat = cust["c_nationkey"].to_numpy(zero_copy_only=False).astype(np.int64)
+    orders = _pq(sf_dir, "orders", ["o_orderkey", "o_custkey"])
+    pos = np.searchsorted(np.sort(ck), orders["o_custkey"].to_numpy(zero_copy_only=False))
+    order_cnat = cnat[np.argsort(ck)][np.clip(pos, 0, len(ck) - 1)]
+    oref = _lookup_ref(orders["o_orderkey"].to_numpy(zero_copy_only=False), order_cnat)
+
+    ds = _read(sf_dir, "lineitem", ["l_orderkey", "l_suppkey", "l_extendedprice", "l_discount"])
+    valid_nat = set(int(k) for k in nkeys)
+
+    def partial(b: pa.Table) -> pa.Table:
+        fs, (sn,) = _lookup(sref, b["l_suppkey"].to_numpy(zero_copy_only=False))
+        fo, (cn,) = _lookup(oref, b["l_orderkey"].to_numpy(zero_copy_only=False))
+        same = fs & fo & (sn == cn) & np.isin(sn, list(valid_nat))
+        b = b.filter(pa.array(same))
+        sn = sn[same]
+        ep = b["l_extendedprice"].to_numpy(zero_copy_only=False).astype(np.float64)
+        disc = b["l_discount"].to_numpy(zero_copy_only=False).astype(np.float64)
+        names = np.array([nk2name[int(x)] for x in sn], dtype=object)
+        t = pa.table(
+            {
+                "n_name": pa.array(names, pa.string()),
+                "revenue_c": pa.array(_cents(ep * (1.0 - disc), 10000)),
+            }
+        )
+        return t.group_by(["n_name"]).aggregate([("revenue_c", "sum")])
+
+    ds = ds.map_batches(partial, batch_format="pyarrow", batch_size=CONF.batch_size)
+    agg = ds.groupby("n_name").sum("revenue_c_sum")
+
+    def rename(b: pa.Table) -> pa.Table:
+        i = b.schema.get_field_index("sum(revenue_c_sum)")
+        return b.set_column(i, "revenue_c", b["sum(revenue_c_sum)"])
+
+    return agg.map_batches(rename, batch_format="pyarrow")
+
+
+def q_mktsegment_orders(sf_dir: str):
+    """orders ⋈ customer broadcast; count + exact cent sums per segment."""
+    cust = _pq(sf_dir, "customer", ["c_custkey", "c_mktsegment"])
+    segs, seg_codes = np.unique(np.array(cust["c_mktsegment"].to_pylist(), dtype=object), return_inverse=True)
+    ref = _lookup_ref(cust["c_custkey"].to_numpy(zero_copy_only=False), seg_codes.astype(np.int64))
+    seg_list = segs.tolist()
+
+    ds = _read(sf_dir, "orders", ["o_custkey", "o_totalprice"])
+
+    def partial(b: pa.Table) -> pa.Table:
+        found, (code,) = _lookup(ref, b["o_custkey"].to_numpy(zero_copy_only=False))
+        b = b.filter(pa.array(found))
+        code = code[found]
+        names = np.array(seg_list, dtype=object)[code]
+        tp = b["o_totalprice"].to_numpy(zero_copy_only=False).astype(np.float64)
+        t = pa.table(
+            {
+                "c_mktsegment": pa.array(names, pa.string()),
+                "n_orders": pa.array(np.ones(len(code), dtype=np.int64)),
+                "sum_total_c": pa.array(_cents(tp, 100)),
+            }
+        )
+        return t.group_by(["c_mktsegment"]).aggregate([("n_orders", "sum"), ("sum_total_c", "sum")])
+
+    ds = ds.map_batches(partial, batch_format="pyarrow", batch_size=CONF.batch_size)
+    return _final_sums(ds, ["c_mktsegment"], ["n_orders", "sum_total_c"])
+
+
+def q_topk_lineitem(sf_dir: str):
+    ds = _read(sf_dir, "lineitem", ["l_orderkey", "l_linenumber", "l_extendedprice"])
+    return ds.sort(
+        ["l_extendedprice", "l_orderkey", "l_linenumber"], descending=[True, False, False]
+    ).limit(20)
+
+
+def q_distinct_event_types(sf_dir: str):
+    ds = _read(sf_dir, "events", ["event_type"])
+    vals = sorted(ds.unique("event_type"))
+    return pa.table({"event_type": pa.array(vals, pa.string())})
+
+
+def q_events_hourly(sf_dir: str):
+    ds = _read(sf_dir, "events", ["ts", "value"])
+
+    def partial(b: pa.Table) -> pa.Table:
+        hour = pc.floor_temporal(b["ts"], unit="hour")
+        val = b["value"].to_numpy(zero_copy_only=False).astype(np.float64)
+        t = pa.table(
+            {
+                "hour": hour,
+                "n": pa.array(np.ones(b.num_rows, dtype=np.int64)),
+                "sum_value_milli": pa.array(_cents(val, 1000)),
+            }
+        )
+        return t.group_by(["hour"]).aggregate([("n", "sum"), ("sum_value_milli", "sum")])
+
+    ds = ds.map_batches(partial, batch_format="pyarrow", batch_size=CONF.batch_size)
+    return _final_sums(ds, ["hour"], ["n", "sum_value_milli"])
+
+
+def q_events_json_extract(sf_dir: str):
+    """M2 analog: typed extraction from the JSON props column."""
+    from .. import expr
+
+    ds = _read(sf_dir, "events", ["event_type", "props"])
+
+    def partial(b: pa.Table) -> pa.Table:
+        k = expr.try_variant_get(
+            b["props"].combine_chunks() if isinstance(b["props"], pa.ChunkedArray) else b["props"],
+            "$.k",
+            "BIGINT",
+        )
+        t = pa.table(
+            {
+                "event_type": b["event_type"],
+                "sum_k": pc.fill_null(k, 0),
+                "n": pa.array(np.ones(b.num_rows, dtype=np.int64)),
+            }
+        )
+        return t.group_by(["event_type"]).aggregate([("sum_k", "sum"), ("n", "sum")])
+
+    ds = ds.map_batches(partial, batch_format="pyarrow", batch_size=CONF.batch_size)
+    return _final_sums(ds, ["event_type"], ["sum_k", "n"])
+
+
+def q_events_bronze_meta(sf_dir: str):
+    """M1 analog: _event_date derivation + count per date."""
+    ds = _read(sf_dir, "events", ["ts"])
+
+    def partial(b: pa.Table) -> pa.Table:
+        d = pc.strftime(b["ts"], format="%Y-%m-%d")
+        t = pa.table({"_event_date": d, "n": pa.array(np.ones(b.num_rows, dtype=np.int64))})
+        return t.group_by(["_event_date"]).aggregate([("n", "sum")])
+
+    ds = ds.map_batches(partial, batch_format="pyarrow", batch_size=CONF.batch_size)
+    return _final_sums(ds, ["_event_date"], ["n"])
+
+
+def q_events_gold_route(sf_dir: str):
+    """M3+M4-lite: regex class routing + severity CASE, flattened."""
+    from .. import expr
+
+    ds = _read(sf_dir, "events", ["event_type"])
+
+    def partial(b: pa.Table) -> pa.Table:
+        et = b["event_type"].combine_chunks() if isinstance(b["event_type"], pa.ChunkedArray) else b["event_type"]
+        class_uid = expr.case_when(
+            [
+                (expr.rlike(et, "signup|purchase"), 3001),
+                (expr.rlike(et, "click|view"), 3002),
+            ],
+            3004,
+            pa.int32(),
+        )
+        severity_id = expr.case_when(
+            [(pc.equal(et, "error"), 4), (pc.equal(et, "purchase"), 2)], 1, pa.int32()
+        )
+        t = pa.table(
+            {
+                "class_uid": class_uid,
+                "severity_id": severity_id,
+                "n": pa.array(np.ones(b.num_rows, dtype=np.int64)),
+            }
+        )
+        return t.group_by(["class_uid", "severity_id"]).aggregate([("n", "sum")])
+
+    ds = ds.map_batches(partial, batch_format="pyarrow", batch_size=CONF.batch_size)
+    return _final_sums(ds, ["class_uid", "severity_id"], ["n"])
+
+
+def q_orders_top_per_customer(sf_dir: str):
+    """Window-rank analog: best order per customer via groupby.map_groups."""
+    ds = _read(sf_dir, "orders", ["o_custkey", "o_orderkey", "o_totalprice"])
+
+    def best(g: pa.Table) -> pa.Table:
+        idx = pc.sort_indices(
+            g, sort_keys=[("o_totalprice", "descending"), ("o_orderkey", "ascending")]
+        )
+        return g.take(idx.slice(0, 1))
+
+    return ds.groupby("o_custkey").map_groups(best, batch_format="pyarrow")
+
+
+def q_events_sessionize(sf_dir: str):
+    """Session windows (gap > 1800 s) per user via sorted map_groups."""
+    ds = _read(sf_dir, "events", ["user_id", "event_id", "ts"])
+
+    def sess(g: pa.Table) -> pa.Table:
+        idx = pc.sort_indices(g, sort_keys=[("ts", "ascending"), ("event_id", "ascending")])
+        ts = g.take(idx)["ts"].cast(pa.int64()).to_numpy(zero_copy_only=False)
+        gaps = np.diff(ts) / 1_000_000.0
+        n_sessions = 1 + int((gaps > 1800.0).sum()) if len(ts) else 0
+        return pa.table(
+            {
+                "user_id": pa.array([g["user_id"][0].as_py()], pa.int64()),
+                "n_events": pa.array([g.num_rows], pa.int64()),
+                "n_sessions": pa.array([n_sessions], pa.int64()),
+            }
+        )
+
+    return ds.groupby("user_id").map_groups(sess, batch_format="pyarrow")
+
+
+# ---------------------------------------------------------------------------
+# Maintenance ops over the derived transcript table (the core graft)
+# ---------------------------------------------------------------------------
+
+
+def _maintained_scan(sf_dir: str, ops: list[str]) -> pa.Table:
+    work = tempfile.mkdtemp(prefix="maint-", dir=cfg.scratch_dir())
+    try:
+        t = derive.build_maintenance_table(sf_dir, os.path.join(work, "tbl"), CONF)
+        for op in ops:
+            if op == "compact":
+                compact_mod.compact(t)
+            elif op == "cluster":
+                cluster_mod.cluster(t, mode="global", curve="zorder")
+            elif op == "cluster-hilbert":
+                cluster_mod.cluster(t, mode="partition", curve="hilbert")
+            elif op == "merge":
+                src = derive.derived_merge_source(derive.sorted_scan_arrow(t))
+                merge_mod.merge(t, src)
+            elif op == "expire":
+                expire_mod.expire_snapshots(t, keep_last=1)
+            else:
+                raise ValueError(op)
+        return derive.sorted_scan_arrow(t)
+    finally:
+        shutil.rmtree(work, ignore_errors=True)
+
+
+def q_maint_compact_scan(sf_dir: str):
+    return _maintained_scan(sf_dir, ["compact"])
+
+
+def q_maint_cluster_scan(sf_dir: str):
+    return _maintained_scan(sf_dir, ["compact", "cluster"])
+
+
+def q_maint_cluster_hilbert_scan(sf_dir: str):
+    return _maintained_scan(sf_dir, ["cluster-hilbert"])
+
+
+def q_maint_merge_scan(sf_dir: str):
+    return _maintained_scan(sf_dir, ["compact", "merge"])
+
+
+def q_maint_full_scan(sf_dir: str):
+    return _maintained_scan(sf_dir, ["compact", "cluster", "merge", "expire"])
+
+
+def q_maint_pruned_scan(sf_dir: str):
+    """Stats-pruned scan of one conversation (file skipping via manifest)."""
+    work = tempfile.mkdtemp(prefix="maint-", dir=cfg.scratch_dir())
+    try:
+        t = derive.build_maintenance_table(sf_dir, os.path.join(work, "tbl"), CONF)
+        compact_mod.compact(t)
+        conv = "conv-00000042"
+        got = t.read_arrow(predicates={"conv_id": (conv, conv)})
+        got = got.filter(pc.equal(got["conv_id"], conv))
+        idx = pc.sort_indices(got, sort_keys=[("turn_idx", "ascending")])
+        return got.take(idx)
+    finally:
+        shutil.rmtree(work, ignore_errors=True)
+
+
+# ---------------------------------------------------------------------------
+# Training-data operators
+# ---------------------------------------------------------------------------
+
+
+def q_dedup_exact(sf_dir: str):
+    ds = dedup_mod.exact_dedup(_read(sf_dir, "documents", ["doc_id", "text"]), config=CONF)
+
+    def project(b: pa.Table) -> pa.Table:
+        return b.select(["doc_id", "dupes", "text"])
+
+    return ds.map_batches(project, batch_format="pyarrow")
+
+
+def q_token_count(sf_dir: str):
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+    out = ds.map_batches(text_mod.token_count, batch_format="pyarrow")
+    return out.map_batches(lambda b: b.select(["doc_id", "n_tokens"]), batch_format="pyarrow")
+
+
+def q_text_quality(sf_dir: str):
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+    out = ds.map_batches(text_mod.quality_score, batch_format="pyarrow")
+    return out.map_batches(
+        lambda b: b.select(["doc_id", "n_chars", "n_words", "stop_ratio"]), batch_format="pyarrow"
+    )
+
+
+def q_lang_id(sf_dir: str):
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+    out = ds.map_batches(text_mod.lang_id, batch_format="pyarrow")
+    return out.map_batches(lambda b: b.select(["doc_id", "pred_lang"]), batch_format="pyarrow")
+
+
+def q_fingerprint_md5(sf_dir: str):
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+    out = ds.map_batches(text_mod.fingerprint_md5, batch_format="pyarrow")
+    return out.map_batches(lambda b: b.select(["doc_id", "fp_md5"]), batch_format="pyarrow")
+
+
+def q_fingerprint_winnow(sf_dir: str):
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+    out = ds.map_batches(text_mod.winnow_fingerprint, batch_format="pyarrow")
+    return out.map_batches(lambda b: b.select(["doc_id", "fp_winnow"]), batch_format="pyarrow")
+
+
+def q_multimodal_decode(sf_dir: str):
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+    media = ds.map_batches(multimodal_mod.synthesize_payloads, batch_format="pyarrow")
+    dec = media.map_batches(
+        multimodal_mod.ImageDecoder, batch_format="pyarrow", batch_size=256, concurrency=2
+    )
+    return dec.map_batches(
+        lambda b: b.select(["media_id", "n_bytes", "width", "height"]), batch_format="pyarrow"
+    )
+
+
+def q_ann_topk(sf_dir: str):
+    t = _pq(sf_dir, "embeddings")
+    ids = t["vec_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+    mat = np.asarray(t["embedding"].to_pylist(), dtype=np.float64)
+    qm = ids < 8
+    import ray.data as rd
+
+    out = similarity_mod.brute_force_topk(
+        rd.from_arrow(t), mat[qm], ids[qm], k=10, config=CONF
+    )
+    return out.map_batches(
+        lambda b: b.select(["query_id", "vec_id", "rank"]), batch_format="pyarrow"
+    )
+
+
+def q_ann_ivf(sf_dir: str):
+    t = _pq(sf_dir, "embeddings")
+    ids = t["vec_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+    mat = np.asarray(t["embedding"].to_pylist(), dtype=np.float64)
+    cent = similarity_mod.kmeans_fit(mat, 8)
+    qm = ids < 8
+    import ray.data as rd
+
+    return similarity_mod.ivf_topk(rd.from_arrow(t), mat[qm], ids[qm], cent, k=10, nprobe=4, config=CONF)
+
+
+def q_embedding_near_dup(sf_dir: str):
+    t = _pq(sf_dir, "embeddings")
+    ids = t["vec_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+    mat = np.asarray(t["embedding"].to_pylist(), dtype=np.float64)
+    import ray.data as rd
+
+    out = dedup_mod.embedding_near_dup_pairs(rd.from_arrow(t), mat, ids, threshold=0.95, config=CONF)
+    rows = out.take_all()  # tiny pair list; keep an explicit schema when empty
+    return pa.table(
+        {
+            "a": pa.array([r["a"] for r in rows], pa.int64()),
+            "b": pa.array([r["b"] for r in rows], pa.int64()),
+        }
+    )
+
+
+def q_dedup_minhash(sf_dir: str):
+    docs = _pq(sf_dir, "documents", ["doc_id", "text"])
+    lookup = dict(zip(docs["doc_id"].to_pylist(), docs["text"].to_pylist()))
+    import ray.data as rd
+
+    return dedup_mod.minhash_duplicate_pairs(
+        rd.from_arrow(docs), threshold=0.5, text_lookup=lookup, config=CONF
+    )
+
+
+def q_dedup_simhash(sf_dir: str):
+    import ray.data as rd
+
+    docs = _pq(sf_dir, "documents", ["doc_id", "text"])
+    return dedup_mod.simhash_duplicate_pairs(rd.from_arrow(docs), max_hamming=3, config=CONF)
+
+
+def q_ngram_jaccard(sf_dir: str):
+    import ray.data as rd
+
+    docs = _pq(sf_dir, "documents", ["doc_id", "source", "text"])
+    return dedup_mod.ngram_jaccard_pairs(rd.from_arrow(docs), threshold=0.5)
+
+
+# ---------------------------------------------------------------------------
+# Registry + oracles
+# ---------------------------------------------------------------------------
+
+STOP_SQL = "('" + "','".join(text_mod.STOPWORDS) + "')"
+
+
+def _lang_sql() -> str:
+    counts = []
+    for lg in text_mod.LANG_ORDER:
+        vocab = "('" + "','".join(text_mod.LANG_MARKERS[lg]) + "')"
+        counts.append(
+            f"len(list_filter(regexp_split_to_array(trim(text), '\\s+'), x -> x IN {vocab})) AS c_{lg}"
+        )
+    cases = []
+    for lg in text_mod.LANG_ORDER:
+        conds = " AND ".join(f"c_{lg} >= c_{o}" for o in text_mod.LANG_ORDER if o != lg)
+        cases.append(f"WHEN {conds} THEN '{lg}'")
+    total = " + ".join(f"c_{lg}" for lg in text_mod.LANG_ORDER)
+    return f"""
+    SELECT doc_id, CASE WHEN {total} = 0 THEN 'und' {' '.join(cases)} ELSE 'und' END AS pred_lang
+    FROM (SELECT doc_id, {', '.join(counts)} FROM documents)
+    """
+
+
+def queries() -> dict:
+    return {
+        # relational / medallion operators
+        "q01_pricing_summary": q01_pricing_summary,
+        "q03_top_orders": q03_top_orders,
+        "q05_region_revenue": q05_region_revenue,
+        "q_mktsegment_orders": q_mktsegment_orders,
+        "q_topk_lineitem": q_topk_lineitem,
+        "q_distinct_event_types": q_distinct_event_types,
+        "q_events_hourly": q_events_hourly,
+        "q_events_json_extract": q_events_json_extract,
+        "q_events_bronze_meta": q_events_bronze_meta,
+        "q_events_gold_route": q_events_gold_route,
+        "q_orders_top_per_customer": q_orders_top_per_customer,
+        "q_events_sessionize": q_events_sessionize,
+        # maintenance graft ops
+        "q_maint_compact_scan": q_maint_compact_scan,
+        "q_maint_cluster_scan": q_maint_cluster_scan,
+        "q_maint_cluster_hilbert_scan": q_maint_cluster_hilbert_scan,
+        "q_maint_merge_scan": q_maint_merge_scan,
+        "q_maint_full_scan": q_maint_full_scan,
+        "q_maint_pruned_scan": q_maint_pruned_scan,
+        # training-data ops
+        "q_dedup_exact": q_dedup_exact,
+        "q_token_count": q_token_count,
+        "q_text_quality": q_text_quality,
+        "q_lang_id": q_lang_id,
+        "q_fingerprint_md5": q_fingerprint_md5,
+        "q_fingerprint_winnow": q_fingerprint_winnow,
+        "q_multimodal_decode": q_multimodal_decode,
+        "q_ann_topk": q_ann_topk,
+        "q_ann_ivf": q_ann_ivf,
+        "q_embedding_near_dup": q_embedding_near_dup,
+        "q_dedup_minhash": q_dedup_minhash,
+        "q_dedup_simhash": q_dedup_simhash,
+        "q_ngram_jaccard": q_ngram_jaccard,
+    }
+
+
+_T = derive.TRANSCRIPT_CTE
+_M = derive.MERGE_CTE
+_TRANSCRIPT_SELECT = "SELECT conv_id, turn_idx, role, text, tool, ts FROM t"
+_MERGED_SELECT = "SELECT conv_id, turn_idx, role, text, tool, ts FROM merged"
+
+
+def oracle_sql() -> dict:
+    return {
+        "q01_pricing_summary": """
+            SELECT l_returnflag, l_linestatus,
+                   CAST(SUM(CAST(FLOOR(l_quantity * 100 + 0.5) AS BIGINT)) AS BIGINT) AS sum_qty,
+                   CAST(SUM(CAST(FLOOR(l_extendedprice * 100 + 0.5) AS BIGINT)) AS BIGINT) AS sum_base_price,
+                   CAST(SUM(CAST(FLOOR(l_extendedprice * (1 - l_discount) * 10000 + 0.5) AS BIGINT)) AS BIGINT) AS sum_disc_price,
+                   COUNT(*) AS n_rows,
+                   CAST(SUM(CAST(FLOOR(l_quantity * 100 + 0.5) AS BIGINT)) AS DOUBLE) / 100.0 / COUNT(*) AS avg_qty
+            FROM lineitem WHERE l_shipdate < TIMESTAMP '1998-01-01'
+            GROUP BY l_returnflag, l_linestatus
+        """,
+        "q03_top_orders": """
+            SELECT l.l_orderkey AS o_orderkey, o.o_orderdate,
+                   CAST(SUM(CAST(FLOOR(l.l_extendedprice * (1 - l.l_discount) * 10000 + 0.5) AS BIGINT)) AS BIGINT) AS revenue_c
+            FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+            JOIN customer c ON o.o_custkey = c.c_custkey
+            WHERE c.c_mktsegment = 'BUILDING'
+              AND o.o_orderdate < TIMESTAMP '1998-01-01'
+              AND l.l_shipdate > TIMESTAMP '1998-01-01'
+            GROUP BY 1, 2
+            ORDER BY revenue_c DESC, o_orderkey LIMIT 10
+        """,
+        "q05_region_revenue": """
+            SELECT n.n_name,
+                   CAST(SUM(CAST(FLOOR(l.l_extendedprice * (1 - l.l_discount) * 10000 + 0.5) AS BIGINT)) AS BIGINT) AS revenue_c
+            FROM lineitem l
+            JOIN supplier s ON l.l_suppkey = s.s_suppkey
+            JOIN orders o ON l.l_orderkey = o.o_orderkey
+            JOIN customer c ON o.o_custkey = c.c_custkey
+            JOIN nation n ON s.s_nationkey = n.n_nationkey
+            JOIN region r ON n.n_regionkey = r.r_regionkey
+            WHERE r.r_name = 'ASIA' AND c.c_nationkey = s.s_nationkey
+            GROUP BY n.n_name
+        """,
+        "q_mktsegment_orders": """
+            SELECT c.c_mktsegment, COUNT(*) AS n_orders,
+                   CAST(SUM(CAST(FLOOR(o.o_totalprice * 100 + 0.5) AS BIGINT)) AS BIGINT) AS sum_total_c
+            FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+            GROUP BY c.c_mktsegment
+        """,
+        "q_topk_lineitem": """
+            SELECT l_orderkey, l_linenumber, l_extendedprice FROM lineitem
+            ORDER BY l_extendedprice DESC, l_orderkey, l_linenumber LIMIT 20
+        """,
+        "q_distinct_event_types": "SELECT DISTINCT event_type FROM events ORDER BY 1",
+        "q_events_hourly": """
+            SELECT date_trunc('hour', ts) AS hour, COUNT(*) AS n,
+                   CAST(SUM(CAST(FLOOR(value * 1000 + 0.5) AS BIGINT)) AS BIGINT) AS sum_value_milli
+            FROM events GROUP BY 1
+        """,
+        "q_events_json_extract": """
+            SELECT event_type,
+                   CAST(SUM(COALESCE(CAST(regexp_extract(props, '"k":\\s*(-?\\d+)', 1) AS BIGINT), 0)) AS BIGINT) AS sum_k,
+                   COUNT(*) AS n
+            FROM events GROUP BY event_type
+        """,
+        "q_events_bronze_meta": """
+            SELECT strftime(ts, '%Y-%m-%d') AS _event_date, COUNT(*) AS n FROM events GROUP BY 1
+        """,
+        "q_events_gold_route": """
+            SELECT CASE WHEN regexp_matches(event_type, 'signup|purchase') THEN 3001
+                        WHEN regexp_matches(event_type, 'click|view') THEN 3002
+                        ELSE 3004 END AS class_uid,
+                   CASE WHEN event_type = 'error' THEN 4
+                        WHEN event_type = 'purchase' THEN 2 ELSE 1 END AS severity_id,
+                   COUNT(*) AS n
+            FROM events GROUP BY 1, 2
+        """,
+        "q_orders_top_per_customer": """
+            SELECT o_custkey, o_orderkey, o_totalprice FROM orders
+            QUALIFY row_number() OVER (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey) = 1
+        """,
+        "q_events_sessionize": """
+            SELECT user_id, COUNT(*) AS n_events,
+                   CAST(1 + SUM(CASE WHEN gap > 1800.0 THEN 1 ELSE 0 END) AS BIGINT) AS n_sessions
+            FROM (
+              SELECT user_id,
+                     epoch(ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)) AS gap
+              FROM events
+            ) GROUP BY user_id
+        """,
+        "q_maint_compact_scan": _T + _TRANSCRIPT_SELECT,
+        "q_maint_cluster_scan": _T + _TRANSCRIPT_SELECT,
+        "q_maint_cluster_hilbert_scan": _T + _TRANSCRIPT_SELECT,
+        "q_maint_merge_scan": _M + _MERGED_SELECT,
+        "q_maint_full_scan": _M + _MERGED_SELECT,
+        "q_maint_pruned_scan": _T + _TRANSCRIPT_SELECT + " WHERE conv_id = 'conv-00000042'",
+        "q_dedup_exact": """
+            SELECT CAST(min(doc_id) AS BIGINT) AS doc_id, COUNT(*) AS dupes, text
+            FROM documents GROUP BY text
+        """,
+        "q_token_count": r"""
+            SELECT doc_id, CAST(len(regexp_split_to_array(trim(text), '\s+')) AS BIGINT) AS n_tokens
+            FROM documents
+        """,
+        "q_text_quality": rf"""
+            SELECT doc_id,
+                   CAST(length(text) AS BIGINT) AS n_chars,
+                   CAST(len(regexp_split_to_array(trim(text), '\s+')) AS BIGINT) AS n_words,
+                   CAST(len(list_filter(regexp_split_to_array(trim(text), '\s+'), x -> x IN {STOP_SQL})) AS DOUBLE)
+                     / greatest(len(regexp_split_to_array(trim(text), '\s+')), 1) AS stop_ratio
+            FROM documents
+        """,
+        "q_lang_id": _lang_sql(),
+        "q_fingerprint_md5": "SELECT doc_id, md5(text) AS fp_md5 FROM documents",
+        "q_multimodal_decode": """
+            SELECT doc_id AS media_id,
+                   CAST(octet_length(encode(text)) + 8 AS BIGINT) AS n_bytes,
+                   CAST(1 + octet_length(encode(text)) % 640 AS INTEGER) AS width,
+                   CAST(1 + (octet_length(encode(text)) * 7) % 480 AS INTEGER) AS height
+            FROM documents
+        """,
+        "q_ann_topk": """
+            SELECT q.vec_id AS query_id, e.vec_id,
+                   CAST(row_number() OVER (
+                     PARTITION BY q.vec_id
+                     ORDER BY list_cosine_similarity(q.embedding, e.embedding) DESC, e.vec_id
+                   ) AS BIGINT) AS rank
+            FROM embeddings q, embeddings e
+            WHERE q.vec_id < 8 AND e.vec_id <> q.vec_id
+            QUALIFY row_number() OVER (
+              PARTITION BY q.vec_id
+              ORDER BY list_cosine_similarity(q.embedding, e.embedding) DESC, e.vec_id
+            ) <= 10
+        """,
+        "q_embedding_near_dup": """
+            SELECT a.vec_id AS a, b.vec_id AS b
+            FROM embeddings a, embeddings b
+            WHERE a.vec_id < b.vec_id
+              AND list_cosine_similarity(a.embedding, b.embedding) >= 0.95
+        """,
+        # q_ann_ivf / q_dedup_minhash / q_dedup_simhash / q_ngram_jaccard /
+        # q_fingerprint_winnow: approximate / non-SQL-expressible → rows-only.
+    }
