@@ -87,9 +87,9 @@ def run_bench() -> dict:
     base, src = cached_transcripts(sf)
 
     conf = cfg.EngineConfig(
-        num_partitions=16,
+        num_partitions=64,  # >= max cores so partition-parallel ops saturate
         target_file_bytes=32 * 1024 * 1024,
-        rewrite_concurrency=max(2, NUM_CPUS // 2),
+        rewrite_concurrency=NUM_CPUS,
         batch_size=64 * 1024,
     )
     work = f"/tmp/lakeray/bench-tbl-{os.getpid()}"
@@ -101,7 +101,19 @@ def run_bench() -> dict:
         config=conf,
         stats_cols=TRANSCRIPT_STATS_COLS,
     )
-    t.write_table(base, rows_per_file=5000)  # many small files (untimed setup)
+    # many small files (untimed setup), written in parallel via the dataset
+    # append path: each ~rows_per_file*P batch yields one small file per
+    # partition dir
+    import dataclasses
+
+    import ray.data as rd
+
+    rows_per_file = 5000
+    build_conf = dataclasses.replace(conf, batch_size=rows_per_file * conf.num_partitions)
+    n_blocks = max(1, base.num_rows // build_conf.batch_size)
+    Table(work, build_conf).append_dataset(
+        rd.from_arrow(base).repartition(n_blocks), operation="ingest"
+    )
     n_rows = base.num_rows
 
     # warm page cache / object store with an untimed read
@@ -112,7 +124,7 @@ def run_bench() -> dict:
     t_compact = time.time() - t0
 
     t1 = time.time()
-    cluster.cluster(t, mode="global", curve="zorder")
+    cluster.cluster(t, mode="auto", curve="zorder")
     t_cluster = time.time() - t1
 
     t2 = time.time()
@@ -126,17 +138,19 @@ def run_bench() -> dict:
     headline = time.time() - t0
     shutil.rmtree(work, ignore_errors=True)
 
-    # representative operator queries over the testdata tables
-    from e2e_ocsf_cyber_lakehouse_blueprint_ray.pipelines import queries as q
-
+    # representative operator queries over the testdata tables (skipped in
+    # maintenance-only mode, e.g. the --scaling runs on synthetic-only sf)
     qtimes = {}
-    reg = q.queries()
-    for name in BENCH_QUERIES:
-        tq = time.time()
-        res = reg[name](SF_DIR)
-        if hasattr(res, "materialize"):
-            res.materialize()
-        qtimes[name] = round(time.time() - tq, 3)
+    if not os.environ.get("BENCH_MAINT_ONLY"):
+        from e2e_ocsf_cyber_lakehouse_blueprint_ray.pipelines import queries as q
+
+        reg = q.queries()
+        for name in BENCH_QUERIES:
+            tq = time.time()
+            res = reg[name](SF_DIR)
+            if hasattr(res, "materialize"):
+                res.materialize()
+            qtimes[name] = round(time.time() - tq, 3)
     qtimes.update(
         {
             "maint_compact": round(t_compact, 3),
@@ -162,10 +176,22 @@ def run_bench() -> dict:
 
 
 def run_scaling():
+    """Same maintenance job, same input, fresh processes at num_cpus=8 and
+    =32 (sandbox stand-in for N vs 4N nodes). The input is sized by
+    $SCALING_SF (default 0.3 ≈ 3M turns) so there is enough work per core
+    for the comparison to measure scaling rather than fixed per-job
+    overhead; both levels read the identical cached table."""
     import subprocess
 
+    scaling_sf = os.environ.get("SCALING_SF", "1")
+
     def one(ncpu: int) -> dict:
-        env = dict(os.environ, RAY_GRAFT_CPUS=str(ncpu))
+        env = dict(
+            os.environ,
+            RAY_GRAFT_CPUS=str(ncpu),
+            GRAFT_SF_DIR=f"/root/testdata/sf{scaling_sf}",
+            BENCH_MAINT_ONLY="1",
+        )
         p = subprocess.run(
             [sys.executable, os.path.abspath(__file__)],
             env=env,
@@ -189,6 +215,8 @@ def run_scaling():
                 "scaling_efficiency": round(eff, 3),
                 "sf": r_lo["sf"],
                 "rows": r_lo["rows"],
+                "stage_sec_8": {k: v for k, v in r_lo["queries"].items() if k.startswith("maint")},
+                "stage_sec_32": {k: v for k, v in r_hi["queries"].items() if k.startswith("maint")},
             }
         )
     )

@@ -32,6 +32,11 @@ class EngineConfig:
     curve_bits: int = 32
     #: curve kind: "zorder" (bit interleave) or "hilbert" (fallback).
     curve: str = "zorder"
+    #: cluster mode="auto" sorts each partition in-task (no shuffle) when
+    #: every partition's on-disk bytes fit under this bound; otherwise it
+    #: falls back to the global range-shuffle sort. In-task arrow sort beats
+    #: a distributed sort by ~10x until partitions stop fitting in a task.
+    partition_sort_max_bytes: int = 1024 * 1024 * 1024
 
     # --- execution ------------------------------------------------------
     #: actor-pool size for rewrite stages (compaction / merge / cluster

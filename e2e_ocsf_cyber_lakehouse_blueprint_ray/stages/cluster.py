@@ -51,48 +51,57 @@ def add_cluster_key(batch: pa.Table, *, config: EngineConfig, curve: str, num_pa
     return batch.append_column("_part", pa.array(part)).append_column("_zkey", pa.array(zk))
 
 
-class _ClusterWriter:
-    """Writes sorted batches as data files, splitting at partition
-    boundaries; one Parquet writer context per actor."""
+def _write_sorted_batch(
+    batch: pa.Table, *, table_dir: str, config: EngineConfig, bytes_per_row: float
+) -> pa.Table:
+    """Write one sorted batch as data files, splitting at partition
+    boundaries. A stateless task fn (no actor pool on the critical path);
+    the upstream batch_size is already target-file-sized."""
+    import uuid
 
-    def __init__(self, table_dir: str, config: EngineConfig, bytes_per_row: float):
-        import uuid
+    table = Table(table_dir, config)
+    stats_cols = table.stats_cols() or None
+    rows_per_file = max(
+        1,
+        min(config.max_rows_per_file, int(config.target_file_bytes / max(1.0, bytes_per_row))),
+    )
+    wid = uuid.uuid4().hex[:10]
+    seq = 0
+    entries = []
+    parts = batch["_part"].to_numpy(zero_copy_only=False)
+    data = batch.drop_columns(["_part", "_zkey"])
+    bounds = np.flatnonzero(np.r_[True, parts[1:] != parts[:-1]])
+    for i, b in enumerate(bounds):
+        e = bounds[i + 1] if i + 1 < len(bounds) else len(parts)
+        chunk = data.slice(b, e - b)
+        pdir = f"part-{int(parts[b])}"
+        for off in range(0, chunk.num_rows, rows_per_file):
+            sl = chunk.slice(off, rows_per_file)
+            name = f"z-{wid}-{seq:06d}.parquet"
+            seq += 1
+            entries.append(table.write_file(sl, pdir, name, stats_cols))
+    if not entries:
+        return ENTRY_SCHEMA.empty_table()
+    return pa.Table.from_pylist(entries, schema=ENTRY_SCHEMA)
 
-        self.table = Table(table_dir, config)
-        self.stats_cols = self.table.stats_cols() or None
-        self.rows_per_file = max(
-            1,
-            min(
-                config.max_rows_per_file,
-                int(config.target_file_bytes / max(1.0, bytes_per_row)),
-            ),
-        )
-        self.wid = uuid.uuid4().hex[:10]
-        self.seq = 0
 
-    def __call__(self, batch: pa.Table) -> pa.Table:
-        entries = []
-        parts = batch["_part"].to_numpy(zero_copy_only=False)
-        data = batch.drop_columns(["_part", "_zkey"])
-        bounds = np.flatnonzero(np.r_[True, parts[1:] != parts[:-1]])
-        for i, b in enumerate(bounds):
-            e = bounds[i + 1] if i + 1 < len(bounds) else len(parts)
-            chunk = data.slice(b, e - b)
-            pdir = f"part-{int(parts[b])}"
-            for off in range(0, chunk.num_rows, self.rows_per_file):
-                sl = chunk.slice(off, self.rows_per_file)
-                name = f"z-{self.wid}-{self.seq:06d}.parquet"
-                self.seq += 1
-                entries.append(self.table.write_file(sl, pdir, name, self.stats_cols))
-        if not entries:
-            return ENTRY_SCHEMA.empty_table()
-        return pa.Table.from_pylist(entries, schema=ENTRY_SCHEMA)
+def plan_partition_bins(table: Table, snapshot_id: int | None = None) -> list[dict]:
+    """One bin per table partition containing ALL its files — the unit of
+    the shuffle-free cluster path (the whole partition is sorted in-task)."""
+    ents = table.entries(snapshot_id)
+    by_path = {r["path"]: r for r in ents.to_pylist()}
+    by_part: dict[str, list[str]] = {}
+    for r in by_path.values():
+        by_part.setdefault(r["partition"], []).append(r["path"])
+    return [
+        rewrite.make_bin(sorted(paths), part, by_path) for part, paths in sorted(by_part.items())
+    ]
 
 
 def cluster(
     table: Table,
     *,
-    mode: str = "global",
+    mode: str = "auto",
     curve: str | None = None,
     concurrency: int | None = None,
     use_actor: bool = False,
@@ -105,10 +114,20 @@ def cluster(
     if ents.num_rows == 0:
         return None
     removed = ents["path"].to_pylist()
+
+    if mode == "auto":
+        part_bytes: dict[str, int] = {}
+        for r in ents.to_pylist():
+            part_bytes[r["partition"]] = part_bytes.get(r["partition"], 0) + r["bytes"]
+        mode = (
+            "partition"
+            if part_bytes and max(part_bytes.values()) <= cfg.partition_sort_max_bytes
+            else "global"
+        )
     job_id = lineage.job_id_for(f"cluster-{curve}-{mode}", parent)
 
     if mode == "partition":
-        bins = compact.plan_compaction(table, recluster=True, snapshot_id=parent)
+        bins = plan_partition_bins(table, snapshot_id=parent)
         added = rewrite.run_bins(
             table,
             bins,
@@ -124,20 +143,33 @@ def cluster(
         total_rows = int(pc.sum(ents["rows"]).as_py() or 0)
         total_bytes = int(pc.sum(ents["bytes"]).as_py() or 0)
         bpr = total_bytes / max(1, total_rows)
-        ds = table.scan(snapshot_id=parent)
+        conc = max(1, concurrency or cfg.rewrite_concurrency)
+        # Size the sort's partition count from the data, not Ray's min-200-
+        # blocks default: on a ~100 MB table that default makes 200+ 0.5 MB
+        # blocks and the range shuffle becomes pure per-block overhead. One
+        # block ≈ one uncompressed target file's worth keeps reduce tasks
+        # meaningful at every scale (zstd ≈ 3× expansion estimate).
+        est_inmem = total_bytes * 3
+        n_blocks = max(conc, min(4096, -(-est_inmem // cfg.target_file_bytes)))
+        ds = table.scan(snapshot_id=parent, override_num_blocks=n_blocks)
         ds = ds.map_batches(
             add_cluster_key,
             fn_kwargs=dict(config=cfg, curve=curve, num_partitions=num_partitions),
             batch_format="pyarrow",
-            batch_size=cfg.batch_size,
+            batch_size=None,  # whole-block batches: no rebatch copy before the shuffle
         )
         ds = ds.sort(["_part", "_zkey"])
+        # batch the writer at target-file granularity so output files land
+        # near target_file_bytes instead of one file per sorted block
+        writer_rows = max(
+            1, min(cfg.max_rows_per_file, int(cfg.target_file_bytes / max(1.0, bpr)))
+        )
         ent_ds = ds.map_batches(
-            _ClusterWriter,
-            fn_constructor_args=(table.dir, cfg, bpr),
+            _write_sorted_batch,
+            fn_kwargs=dict(table_dir=table.dir, config=cfg, bytes_per_row=bpr),
             batch_format="pyarrow",
-            batch_size=cfg.batch_size,
-            concurrency=max(1, concurrency or cfg.rewrite_concurrency),
+            batch_size=writer_rows,
+            concurrency=conc,
         )
         rows = ent_ds.take_all()  # manifest entries only — data stays distributed
         added = (

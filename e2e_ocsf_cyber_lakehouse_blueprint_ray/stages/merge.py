@@ -122,8 +122,10 @@ def merge(
         removed.extend(touched)
 
     job_id = lineage.job_id_for("merge", parent, params)
-    dk_ref = ray.put(delete_keys)
-    ex_ref = ray.put(extra_rows)
+    # two-level broadcast: outer dict holds one ObjectRef per partition so a
+    # rewrite task only fetches its own partition's keys/upserts
+    dk_ref = ray.put({p: ray.put(v) for p, v in delete_keys.items()})
+    ex_ref = ray.put({p: ray.put(v) for p, v in extra_rows.items()})
     added = rewrite.run_bins(
         table,
         units,

@@ -59,10 +59,13 @@ class BinRewriter:
       "key"     — sort rows by ``sort_key`` (compaction, merge)
       "zorder"  — compute curve key from (conv_id, ts), sort by it, drop it
       "none"    — keep input order
-    ``extra_rows_ref``: ray.ObjectRef of {partition: serialized pa.Table} to
-    union into the bin (MERGE upserts), fetched ONCE per actor.
-    ``delete_keys_ref``: ray.ObjectRef of {partition: key string array} whose
-    (conv_id, turn_idx) rows are dropped (MERGE anti-join).
+    ``extra_rows_ref``: ObjectRef of {partition: ObjectRef(ipc bytes)} to
+    union into the bin (MERGE upserts). Two-level refs on purpose: the outer
+    dict is tiny, and a task ray.gets ONLY its own partition's payload —
+    shipping one flat dict would memcpy every partition's upserts into every
+    task.
+    ``delete_keys_ref``: same shape for {partition: ObjectRef(key array)}
+    whose (conv_id, turn_idx) rows are dropped (MERGE anti-join).
     """
 
     def __init__(
@@ -99,14 +102,18 @@ class BinRewriter:
         return pa.concat_tables(tabs).combine_chunks() if tabs else None
 
     def _apply_merge(self, t: pa.Table | None, partition: str) -> pa.Table | None:
+        import ray
+
         dk = self.delete_keys.get(partition)
         if t is not None and dk is not None:
+            dk = ray.get(dk) if isinstance(dk, ray.ObjectRef) else dk
             key = pc.binary_join_element_wise(
                 t["conv_id"], pc.cast(t["turn_idx"], pa.string()), "\x1f"
             )
             t = t.filter(pc.invert(pc.is_in(key, value_set=dk)))
         ex = self.extra.get(partition)
         if ex is not None:
+            ex = ray.get(ex) if isinstance(ex, ray.ObjectRef) else ex
             ex_t = pa.ipc.open_stream(ex).read_all()
             t = ex_t if t is None else pa.concat_tables([t, ex_t]).combine_chunks()
         return t
@@ -141,8 +148,14 @@ class BinRewriter:
         cached = lineage.load_unit(self.table.dir, self.job_id, uid)
         if cached is not None:
             return cached["entries"]
-        if self.fail_after is not None and self.done >= self.fail_after:
-            raise FailInjected(f"injected failure after {self.done} units")
+        if self.fail_after is not None:
+            # count DURABLE completed units (lineage records), not per-instance
+            # state: rewriters are rebuilt per task, but the crash the tests
+            # simulate must land after N units job-wide.
+            jd = os.path.join(self.table.dir, lineage.LINEAGE_DIR, self.job_id)
+            done_ct = len([f for f in os.listdir(jd) if f.endswith(".json")]) if os.path.isdir(jd) else 0
+            if done_ct >= self.fail_after:
+                raise FailInjected(f"injected failure after {done_ct} units")
         inputs = json.loads(unit["inputs_json"])
         partition = unit["partition"]
         t = self._read_inputs(inputs)
@@ -189,19 +202,31 @@ def run_bins(
     concurrency: int | None = None,
     **rewriter_kw,
 ) -> pa.Table:
-    """Execute bins on an actor pool; returns the new manifest entries."""
+    """Execute bins as stateless tasks; returns the new manifest entries.
+
+    ``from_items`` puts one bin per block, so each bin is one task —
+    straggler-friendly scheduling with NO actor-pool spin-up on the critical
+    path (a fresh 32-actor pool costs ~3 s; a maintenance run has several
+    rewrite stages, and tasks reuse Ray's warm workers across them). The
+    rewriter object is rebuilt per task — its init is a manifest-pointer
+    read plus zero-copy ``ray.get`` of the broadcast refs, microseconds
+    against a multi-MB file rewrite.
+    """
     import ray.data as rd
 
     if not bins:
         return ENTRY_SCHEMA.empty_table()
     conc = max(1, min(concurrency or table.config.rewrite_concurrency, len(bins)))
+    table_dir, config = table.dir, table.config
+
+    def rewrite_bin(batch: pa.Table) -> pa.Table:
+        return BinRewriter(table_dir, config, job_id, **rewriter_kw)(batch)
+
     ds = rd.from_items(bins)
     ent_ds = ds.map_batches(
-        BinRewriter,
-        fn_constructor_args=(table.dir, table.config, job_id),
-        fn_constructor_kwargs=rewriter_kw,
+        rewrite_bin,
         batch_format="pyarrow",
-        batch_size=1,  # one bin per task → straggler-friendly scheduling
+        batch_size=None,  # one block = one bin = one task
         concurrency=conc,
     )
     rows = ent_ds.take_all()

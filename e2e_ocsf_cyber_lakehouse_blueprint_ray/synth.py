@@ -113,43 +113,53 @@ def merge_source(base: pa.Table) -> pa.Table:
     upd = rowno % 97 == 13
     dele = (rowno % 211 == 29) & ~upd
 
-    rows: dict[str, list] = {k: [] for k in MERGE_SOURCE.names}
+    def rows_for(mask, op, edit_text=False):
+        idx = np.flatnonzero(mask)
+        texts = (
+            np.array(["edited:" + text[i][:32] for i in idx], dtype=object)
+            if edit_text
+            else text[idx]
+        )
+        return pa.table(
+            {
+                "conv_id": pa.array(conv[idx], pa.string()),
+                "turn_idx": pa.array(turn[idx].astype(np.int32)),
+                "role": pa.array(role[idx], pa.string()),
+                "text": pa.array(texts, pa.string()),
+                "tool": pa.array(tool[idx], pa.string()),
+                "ts": pa.array(ts[idx]).cast(pa.timestamp("us")),
+                "op": pa.array([op] * len(idx), pa.string()),
+            },
+            schema=MERGE_SOURCE,
+        )
 
-    def add(c, t, r, x, tl, s, op):
-        rows["conv_id"].append(c)
-        rows["turn_idx"].append(int(t))
-        rows["role"].append(r)
-        rows["text"].append(x)
-        rows["tool"].append(tl)
-        rows["ts"].append(int(s))
-        rows["op"].append(op)
-
-    for i in np.flatnonzero(upd):
-        add(conv[i], turn[i], role[i], "edited:" + text[i][:32], tool[i], ts[i], "update")
-    for i in np.flatnonzero(dele):
-        add(conv[i], turn[i], role[i], text[i], tool[i], ts[i], "delete")
-
-    # inserts: every 113th distinct conv gets turn max+1
-    uniq, first = np.unique(conv, return_index=True)
-    for j, c in enumerate(uniq):
-        if j % 113 == 7:
-            sel = conv == c
-            mx = int(turn[sel].max())
-            last_ts = int(ts[sel].max())
-            add(c, mx + 1, "user", f"inserted:{c}:{mx + 1}", "", last_ts + 37_000_000, "insert")
-
-    return pa.table(
+    # inserts: every 113th distinct conv gets turn max+1 (vectorized group-max)
+    agg = base.group_by("conv_id").aggregate([("turn_idx", "max"), ("ts", "max")])
+    agg = agg.sort_by("conv_id")
+    sel = pa.array(np.arange(agg.num_rows) % 113 == 7)
+    ins_src = agg.filter(sel)
+    ins_conv = ins_src["conv_id"].to_pylist()
+    ins_turn = np.asarray(ins_src["turn_idx_max"].to_pylist(), dtype=np.int64) + 1
+    ins = pa.table(
         {
-            "conv_id": pa.array(rows["conv_id"], pa.string()),
-            "turn_idx": pa.array(rows["turn_idx"], pa.int32()),
-            "role": pa.array(rows["role"], pa.string()),
-            "text": pa.array(rows["text"], pa.string()),
-            "tool": pa.array(rows["tool"], pa.string()),
-            "ts": pa.array(rows["ts"], pa.int64()).cast(pa.timestamp("us")),
-            "op": pa.array(rows["op"], pa.string()),
+            "conv_id": pa.array(ins_conv, pa.string()),
+            "turn_idx": pa.array(ins_turn.astype(np.int32)),
+            "role": pa.array(["user"] * len(ins_conv), pa.string()),
+            "text": pa.array(
+                [f"inserted:{c}:{t}" for c, t in zip(ins_conv, ins_turn)], pa.string()
+            ),
+            "tool": pa.array([""] * len(ins_conv), pa.string()),
+            "ts": pa.array(
+                np.asarray(ins_src["ts_max"].cast(pa.int64()).to_pylist(), dtype=np.int64)
+                + 37_000_000
+            ).cast(pa.timestamp("us")),
+            "op": pa.array(["insert"] * len(ins_conv), pa.string()),
         },
         schema=MERGE_SOURCE,
     )
+    return pa.concat_tables(
+        [rows_for(upd, "update", edit_text=True), rows_for(dele, "delete"), ins]
+    ).combine_chunks()
 
 
 def apply_merge_expected(base: pa.Table, source: pa.Table) -> pa.Table:

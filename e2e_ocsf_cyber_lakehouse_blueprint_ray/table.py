@@ -272,29 +272,24 @@ class Table:
         table_dir, cfg_ = self.dir, self.config
         stats_cols = self.stats_cols()
 
-        class Writer:
-            def __init__(self):
-                import uuid
+        def write_batch(batch: pa.Table) -> pa.Table:
+            import uuid
 
-                self.t = Table(table_dir, cfg_)
-                self.seq = 0
-                self.wid = uuid.uuid4().hex[:10]
-
-            def __call__(self, batch: pa.Table) -> pa.Table:
-                entries = []
-                if sort_within_file:
-                    idx = pc.sort_indices(
-                        batch, sort_keys=[(k, "ascending") for k in sort_within_file]
-                    )
-                    batch = batch.take(idx)
-                for part, chunk in self.t.split_by_partition(batch).items():
-                    name = f"{name_prefix}-{self.wid}-{self.seq:05d}.parquet"
-                    self.seq += 1
-                    entries.append(self.t.write_file(chunk, part, name, stats_cols))
-                return pa.Table.from_pylist(entries, schema=manifest.ENTRY_SCHEMA)
+            t = Table(table_dir, cfg_)
+            wid = uuid.uuid4().hex[:10]
+            entries = []
+            if sort_within_file:
+                idx = pc.sort_indices(
+                    batch, sort_keys=[(k, "ascending") for k in sort_within_file]
+                )
+                batch = batch.take(idx)
+            for seq, (part, chunk) in enumerate(t.split_by_partition(batch).items()):
+                name = f"{name_prefix}-{wid}-{seq:05d}.parquet"
+                entries.append(t.write_file(chunk, part, name, stats_cols))
+            return pa.Table.from_pylist(entries, schema=manifest.ENTRY_SCHEMA)
 
         ent_ds = ds.map_batches(
-            Writer,
+            write_batch,
             batch_format="pyarrow",
             batch_size=cfg_.batch_size,
             concurrency=cfg_.rewrite_concurrency,
