@@ -559,6 +559,76 @@ def q_embedding_near_dup(sf_dir: str):
     )
 
 
+def q_part_type_stats(sf_dir: str):
+    """Grouped aggregation over part (per-batch partials + cent-rounding)."""
+    ds = _read(sf_dir, "part", ["p_type", "p_retailprice"])
+
+    def partial(b: pa.Table) -> pa.Table:
+        rp = b["p_retailprice"].to_numpy(zero_copy_only=False).astype(np.float64)
+        t = pa.table(
+            {
+                "p_type": b["p_type"],
+                "n": pa.array(np.ones(b.num_rows, dtype=np.int64)),
+                "sum_retail_c": pa.array(_cents(rp, 100)),
+            }
+        )
+        return t.group_by(["p_type"]).aggregate([("n", "sum"), ("sum_retail_c", "sum")])
+
+    ds = ds.map_batches(partial, batch_format="pyarrow", batch_size=CONF.batch_size)
+    return _final_sums(ds, ["p_type"], ["n", "sum_retail_c"])
+
+
+def q_supplier_nation(sf_dir: str):
+    """supplier ⋈ nation broadcast join + aggregation."""
+    nation = _pq(sf_dir, "nation", ["n_nationkey", "n_name"])
+    names = np.array(nation["n_name"].to_pylist(), dtype=object)
+    ref = _lookup_ref(
+        nation["n_nationkey"].to_numpy(zero_copy_only=False).astype(np.int64),
+        np.arange(len(names), dtype=np.int64),
+    )
+    name_list = names.tolist()
+    ds = _read(sf_dir, "supplier", ["s_nationkey", "s_acctbal"])
+
+    def partial(b: pa.Table) -> pa.Table:
+        found, (idx,) = _lookup(ref, b["s_nationkey"].to_numpy(zero_copy_only=False).astype(np.int64))
+        b = b.filter(pa.array(found))
+        idx = idx[found]
+        bal = b["s_acctbal"].to_numpy(zero_copy_only=False).astype(np.float64)
+        t = pa.table(
+            {
+                "n_name": pa.array(np.array(name_list, dtype=object)[idx], pa.string()),
+                "n_suppliers": pa.array(np.ones(len(idx), dtype=np.int64)),
+                "sum_acctbal_c": pa.array(_cents(bal, 100)),
+            }
+        )
+        return t.group_by(["n_name"]).aggregate([("n_suppliers", "sum"), ("sum_acctbal_c", "sum")])
+
+    ds = ds.map_batches(partial, batch_format="pyarrow", batch_size=CONF.batch_size)
+    return _final_sums(ds, ["n_name"], ["n_suppliers", "sum_acctbal_c"])
+
+
+def q_medallion_gold(sf_dir: str):
+    """Full bronze→silver→gold medallion run (15 flows → 6 sinks) on the
+    deterministic audit fixtures; returns per-class routed-event counts.
+    Rows-only (fixture inputs are not DuckDB views)."""
+    from .. import synth
+    from .medallion import GOLD_TABLES, Medallion
+
+    work = tempfile.mkdtemp(prefix="medallion-", dir=cfg.scratch_dir())
+    try:
+        fixtures = os.path.join(work, "raw")
+        synth.write_audit_fixture(fixtures, n_per_source=125)
+        m = Medallion(os.path.join(work, "tables"), cfg.test_config())
+        m.run_all(fixtures, use_actor_gold=True)
+        rows = []
+        for cls, name in sorted(GOLD_TABLES.items()):
+            got = m.table(name).read_arrow(columns=["class_uid"])
+            rows.append({"class_name": cls, "n": got.num_rows})
+        return pa.Table.from_pylist(rows)
+    finally:
+        shutil.rmtree(work, ignore_errors=True)
+
+
 def q_dedup_minhash(sf_dir: str):
     docs = _pq(sf_dir, "documents", ["doc_id", "text"])
     lookup = dict(zip(docs["doc_id"].to_pylist(), docs["text"].to_pylist()))
@@ -623,6 +693,9 @@ def queries() -> dict:
         "q_events_gold_route": q_events_gold_route,
         "q_orders_top_per_customer": q_orders_top_per_customer,
         "q_events_sessionize": q_events_sessionize,
+        "q_part_type_stats": q_part_type_stats,
+        "q_supplier_nation": q_supplier_nation,
+        "q_medallion_gold": q_medallion_gold,
         # maintenance graft ops
         "q_maint_compact_scan": q_maint_compact_scan,
         "q_maint_cluster_scan": q_maint_cluster_scan,
@@ -734,6 +807,17 @@ def oracle_sql() -> dict:
                      epoch(ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)) AS gap
               FROM events
             ) GROUP BY user_id
+        """,
+        "q_part_type_stats": """
+            SELECT p_type, COUNT(*) AS n,
+                   CAST(SUM(CAST(FLOOR(p_retailprice * 100 + 0.5) AS BIGINT)) AS BIGINT) AS sum_retail_c
+            FROM part GROUP BY p_type
+        """,
+        "q_supplier_nation": """
+            SELECT n.n_name, COUNT(*) AS n_suppliers,
+                   CAST(SUM(CAST(FLOOR(s.s_acctbal * 100 + 0.5) AS BIGINT)) AS BIGINT) AS sum_acctbal_c
+            FROM supplier s JOIN nation n ON s.s_nationkey = n.n_nationkey
+            GROUP BY n.n_name
         """,
         "q_maint_compact_scan": _T + _TRANSCRIPT_SELECT,
         "q_maint_cluster_scan": _T + _TRANSCRIPT_SELECT,
