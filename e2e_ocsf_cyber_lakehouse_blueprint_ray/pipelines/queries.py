@@ -480,6 +480,12 @@ def q_token_count(sf_dir: str):
     return out.map_batches(lambda b: b.select(["doc_id", "n_tokens"]), batch_format="pyarrow")
 
 
+def q_token_count_bpe(sf_dir: str):
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+    out = ds.map_batches(text_mod.token_count_bpe, batch_format="pyarrow")
+    return out.map_batches(lambda b: b.select(["doc_id", "n_bpe_tokens"]), batch_format="pyarrow")
+
+
 def q_text_quality(sf_dir: str):
     ds = _read(sf_dir, "documents", ["doc_id", "text"])
     out = ds.map_batches(text_mod.quality_score, batch_format="pyarrow")
@@ -626,6 +632,10 @@ def q_medallion_gold(sf_dir: str):
             rows.append({"class_name": cls, "n": got.num_rows})
         return pa.Table.from_pylist(rows)
     finally:
+        from ..state import metastore
+
+        for name in GOLD_TABLES.values():
+            metastore.shutdown(os.path.join(work, "tables", name))
         shutil.rmtree(work, ignore_errors=True)
 
 
@@ -706,6 +716,7 @@ def queries() -> dict:
         # training-data ops
         "q_dedup_exact": q_dedup_exact,
         "q_token_count": q_token_count,
+        "q_token_count_bpe": q_token_count_bpe,
         "q_text_quality": q_text_quality,
         "q_lang_id": q_lang_id,
         "q_fingerprint_md5": q_fingerprint_md5,
@@ -831,6 +842,11 @@ def oracle_sql() -> dict:
         """,
         "q_token_count": r"""
             SELECT doc_id, CAST(len(regexp_split_to_array(trim(text), '\s+')) AS BIGINT) AS n_tokens
+            FROM documents
+        """,
+        "q_token_count_bpe": r"""
+            SELECT doc_id,
+                   CAST(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]')) AS BIGINT) AS n_bpe_tokens
             FROM documents
         """,
         "q_text_quality": rf"""

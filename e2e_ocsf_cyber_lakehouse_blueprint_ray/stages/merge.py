@@ -58,6 +58,7 @@ def merge(
     concurrency: int | None = None,
     use_actor: bool = False,
     fail_after: int | None = None,
+    _skip_chunking: bool = False,
 ) -> int:
     """Apply a MERGE source (transcript columns + ``op``) copy-on-write.
 
@@ -66,10 +67,9 @@ def merge(
     """
     import ray
 
-    if source.num_rows > table.config.merge_broadcast_max_rows:
-        raise ValueError(
-            "merge source exceeds broadcast budget; split it into key-range "
-            "chunks and merge per chunk (each commit is atomic)"
+    if source.num_rows > table.config.merge_broadcast_max_rows and not _skip_chunking:
+        return merge_chunked(
+            table, source, concurrency=concurrency, use_actor=use_actor
         )
     parent = table.current_snapshot_id()
     ents = table.entries(parent)
@@ -145,3 +145,46 @@ def merge(
         use_actor=use_actor,
         job_id=job_id,
     )
+
+
+def merge_chunked(
+    table: Table,
+    source: pa.Table,
+    *,
+    concurrency: int | None = None,
+    use_actor: bool = False,
+) -> int:
+    """Large-source path: split the source into conv_id-range chunks that fit
+    the broadcast budget and MERGE chunk by chunk. Each chunk commit is
+    atomic (readers see snapshot k or k+1, never a partial chunk), and chunks
+    touch DISJOINT key ranges so the result equals one big merge. At 100 TB
+    this is the bounded-memory shape: the driver never holds more than one
+    chunk's keys, and a source that is itself a Dataset can be iterated
+    ``iter_batches``-style into the same loop.
+    """
+    budget = table.config.merge_broadcast_max_rows
+    idx = pc.sort_indices(source, sort_keys=[("conv_id", "ascending"), ("turn_idx", "ascending")])
+    src = source.take(idx)
+    conv = src["conv_id"].to_numpy(zero_copy_only=False)
+    sid = table.current_snapshot_id()
+    start = 0
+    while start < src.num_rows:
+        end = min(start + budget, src.num_rows)
+        # never split a conversation across chunks (keys within a conv must
+        # land in one atomic commit)
+        if end < src.num_rows:
+            while end > start and conv[end - 1] == conv[min(end, len(conv) - 1)]:
+                end -= 1
+            if end == start:  # single conv larger than budget: take it whole
+                end = start + 1
+                while end < src.num_rows and conv[end] == conv[start]:
+                    end += 1
+        sid = merge(
+            table,
+            src.slice(start, end - start),
+            concurrency=concurrency,
+            use_actor=use_actor,
+            _skip_chunking=True,  # an over-budget single conv merges whole
+        )
+        start = end
+    return sid

@@ -71,6 +71,18 @@ def token_count(batch: pa.Table, *, text_col: str = "text", out_col: str = "n_to
     return _set_col(batch, out_col, pc.cast(pc.list_value_length(toks), pa.int64()))
 
 
+#: BPE-ish pre-tokenizer pattern (letters / digits / single punctuation) —
+#: both pyarrow and DuckDB run RE2, so match counts agree exactly.
+BPE_PATTERN = r"[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]"
+
+
+def token_count_bpe(batch: pa.Table, *, text_col: str = "text", out_col: str = "n_bpe_tokens") -> pa.Table:
+    """Token count under a BPE-style pre-tokenization regex — one vectorized
+    non-overlapping match count per row (pc.count_substring_regex)."""
+    n = pc.count_substring_regex(batch[text_col], BPE_PATTERN)
+    return _set_col(batch, out_col, pc.cast(n, pa.int64()))
+
+
 def quality_score(batch: pa.Table, *, text_col: str = "text") -> pa.Table:
     """n_chars, n_words, stop_ratio — the classic cheap quality features."""
     text = batch[text_col]

@@ -72,3 +72,14 @@ def get_or_create(table_dir: str):
         get_if_exists=True,
         lifetime="detached",
     ).remote(table_dir)
+
+
+def shutdown(table_dir: str) -> bool:
+    """Kill the table's metastore actor if it exists (detached actors
+    otherwise live until ray.shutdown — call this when a table is dropped)."""
+    try:
+        actor = ray.get_actor(actor_name(table_dir), namespace="lakeray")
+    except ValueError:
+        return False
+    ray.kill(actor)
+    return True
