@@ -445,6 +445,71 @@ def q_maint_full_scan(sf_dir: str):
     return _maintained_scan(sf_dir, ["compact", "cluster", "merge", "expire"])
 
 
+def q_maint_time_scan(sf_dir: str):
+    """ts-range scan over the CLUSTERED table: the Z-order key interleaves
+    ts-buckets, so manifest min/max ts stats prune files for time slices —
+    the reference's 'liquid clustering optimizes time-based queries'
+    (post_setup_ocsf_tables.py:25-29) made measurable."""
+    work = tempfile.mkdtemp(prefix="maint-", dir=cfg.scratch_dir())
+    try:
+        t = derive.build_maintenance_table(sf_dir, os.path.join(work, "tbl"), CONF)
+        compact_mod.compact(t)
+        cluster_mod.cluster(t, mode="auto", curve="zorder")
+        lo = np.datetime64("2024-01-08T00:00:00.000000")
+        hi = np.datetime64("2024-01-14T23:59:59.999999")
+        lo_us, hi_us = int(lo.astype("int64")), int(hi.astype("int64"))
+        got = t.read_arrow(predicates={"ts": (lo_us, hi_us)})
+        m = (got["ts"].to_numpy(zero_copy_only=False) >= lo) & (
+            got["ts"].to_numpy(zero_copy_only=False) <= hi
+        )
+        got = got.filter(pa.array(m))
+        idx = pc.sort_indices(
+            got, sort_keys=[("conv_id", "ascending"), ("turn_idx", "ascending")]
+        )
+        return got.take(idx)
+    finally:
+        shutil.rmtree(work, ignore_errors=True)
+
+
+def q_conv_stats(sf_dir: str):
+    """Conversation-level aggregation over the derived transcript table:
+    per-conv turn counts / role mix / time span (partial per-batch sums →
+    small groupby; the transcripts-payload analytical pattern)."""
+    ds = derive.transcripts_from_events(sf_dir)
+
+    def partial(b: pa.Table) -> pa.Table:
+        is_tool = pc.equal(b["role"], "tool")
+        t = pa.table(
+            {
+                "conv_id": b["conv_id"],
+                "n_turns": pa.array(np.ones(b.num_rows, dtype=np.int64)),
+                "n_tool_turns": pc.cast(is_tool, pa.int64()),
+                "first_ts": b["ts"],
+                "last_ts": b["ts"],
+            }
+        )
+        return t.group_by(["conv_id"]).aggregate(
+            [("n_turns", "sum"), ("n_tool_turns", "sum"), ("first_ts", "min"), ("last_ts", "max")]
+        )
+
+    partials_ds = ds.map_batches(partial, batch_format="pyarrow", batch_size=CONF.batch_size)
+    # partials are ~one row per (conv, batch) — the final combine is a small
+    # result and runs as one in-memory group_by
+    partials = pa.Table.from_pylist(partials_ds.take_all())
+    final = partials.group_by(["conv_id"]).aggregate(
+        [
+            ("n_turns_sum", "sum"),
+            ("n_tool_turns_sum", "sum"),
+            ("first_ts_min", "min"),
+            ("last_ts_max", "max"),
+        ]
+    )
+    final = final.select(
+        ["conv_id", "n_turns_sum_sum", "n_tool_turns_sum_sum", "first_ts_min_min", "last_ts_max_max"]
+    )
+    return final.rename_columns(["conv_id", "n_turns", "n_tool_turns", "first_ts", "last_ts"])
+
+
 def q_maint_pruned_scan(sf_dir: str):
     """Stats-pruned scan of one conversation (file skipping via manifest)."""
     work = tempfile.mkdtemp(prefix="maint-", dir=cfg.scratch_dir())
@@ -713,6 +778,8 @@ def queries() -> dict:
         "q_maint_merge_scan": q_maint_merge_scan,
         "q_maint_full_scan": q_maint_full_scan,
         "q_maint_pruned_scan": q_maint_pruned_scan,
+        "q_maint_time_scan": q_maint_time_scan,
+        "q_conv_stats": q_conv_stats,
         # training-data ops
         "q_dedup_exact": q_dedup_exact,
         "q_token_count": q_token_count,
@@ -836,6 +903,14 @@ def oracle_sql() -> dict:
         "q_maint_merge_scan": _M + _MERGED_SELECT,
         "q_maint_full_scan": _M + _MERGED_SELECT,
         "q_maint_pruned_scan": _T + _TRANSCRIPT_SELECT + " WHERE conv_id = 'conv-00000042'",
+        "q_maint_time_scan": _T + _TRANSCRIPT_SELECT
+        + " WHERE ts >= TIMESTAMP '2024-01-08' AND ts <= TIMESTAMP '2024-01-14 23:59:59.999999'",
+        "q_conv_stats": _T + """
+            SELECT conv_id, COUNT(*) AS n_turns,
+                   CAST(SUM(CASE WHEN role = 'tool' THEN 1 ELSE 0 END) AS BIGINT) AS n_tool_turns,
+                   MIN(ts) AS first_ts, MAX(ts) AS last_ts
+            FROM t GROUP BY conv_id
+        """,
         "q_dedup_exact": """
             SELECT CAST(min(doc_id) AS BIGINT) AS doc_id, COUNT(*) AS dupes, text
             FROM documents GROUP BY text

@@ -38,7 +38,14 @@ from ..table import Table
 from . import compact, rewrite
 
 
-def add_cluster_key(batch: pa.Table, *, config: EngineConfig, curve: str, num_partitions: int) -> pa.Table:
+def add_cluster_key(
+    batch: pa.Table,
+    *,
+    config: EngineConfig,
+    curve: str,
+    num_partitions: int,
+    ts_range: tuple[int, int] | None = None,
+) -> pa.Table:
     h = hash64_column(batch["conv_id"])
     zk = curve_key(
         h,
@@ -46,9 +53,25 @@ def add_cluster_key(batch: pa.Table, *, config: EngineConfig, curve: str, num_pa
         bucket_s=config.zorder_ts_bucket_s,
         curve=curve,
         bits=config.curve_bits,
+        ts_range=ts_range,
     )
     part = (h % np.uint64(num_partitions)).astype(np.int32)
     return batch.append_column("_part", pa.array(part)).append_column("_zkey", pa.array(zk))
+
+
+def ts_range_from_entries(ents: pa.Table) -> tuple[int, int] | None:
+    """Global (min, max) ts in microseconds from manifest stats — free."""
+    import json
+
+    lo, hi = None, None
+    for s in ents["stats"].to_pylist():
+        st = json.loads(s) if s else {}
+        cs = st.get("ts") or {}
+        if cs.get("min") is not None:
+            lo = cs["min"] if lo is None else min(lo, cs["min"])
+        if cs.get("max") is not None:
+            hi = cs["max"] if hi is None else max(hi, cs["max"])
+    return (int(lo), int(hi)) if lo is not None and hi is not None else None
 
 
 def _write_sorted_batch(
@@ -154,7 +177,12 @@ def cluster(
         ds = table.scan(snapshot_id=parent, override_num_blocks=n_blocks)
         ds = ds.map_batches(
             add_cluster_key,
-            fn_kwargs=dict(config=cfg, curve=curve, num_partitions=num_partitions),
+            fn_kwargs=dict(
+                config=cfg,
+                curve=curve,
+                num_partitions=num_partitions,
+                ts_range=ts_range_from_entries(ents),
+            ),
             batch_format="pyarrow",
             batch_size=None,  # whole-block batches: no rebatch copy before the shuffle
         )

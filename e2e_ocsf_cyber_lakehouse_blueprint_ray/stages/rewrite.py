@@ -122,12 +122,17 @@ class BinRewriter:
         if self.sort_mode == "none" or t.num_rows == 0:
             return t
         if self.sort_mode == "zorder":
+            ts64 = t["ts"].cast(pa.int64()).to_numpy(zero_copy_only=False)
+            # normalize ts within the bin (per-partition clustering orders
+            # rows locally, so the local min/max IS the right range)
+            rng = (int(ts64.min()), int(ts64.max())) if len(ts64) else None
             zk = curve_key(
                 hash64_column(t["conv_id"]),
-                t["ts"].cast(pa.int64()).to_numpy(zero_copy_only=False),
+                ts64,
                 bucket_s=self.config.zorder_ts_bucket_s,
                 curve=self.curve,
                 bits=self.config.curve_bits,
+                ts_range=rng,
             )
             idx = pc.sort_indices(pa.table({"z": zk}), sort_keys=[("z", "ascending")])
             return t.take(idx)
