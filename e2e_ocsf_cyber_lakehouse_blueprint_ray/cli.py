@@ -52,7 +52,7 @@ def main(argv=None) -> int:
     add_table(sp)
     sp = sub.add_parser("cluster")
     add_table(sp)
-    sp.add_argument("--mode", default="global", choices=["global", "partition"])
+    sp.add_argument("--mode", default="auto", choices=["auto", "global", "partition"])
     sp.add_argument("--curve", default="zorder", choices=["zorder", "hilbert"])
     sp = sub.add_parser("merge")
     add_table(sp)

@@ -161,9 +161,16 @@ class Medallion:
             )
         return out
 
-    def run_gold(self, *, use_actor: bool = True) -> dict[tuple[str, str], int | None]:
+    def run_gold(
+        self, *, use_actor: bool = True, union: bool = False
+    ) -> dict[tuple[str, str], int | None]:
         """15 flows → 6 sinks; commits serialized per sink by its metastore
-        actor (multi-writer path, S5)."""
+        actor (multi-writer path, S5). ``union=True`` takes the S6
+        alternative shape: per class, ``Dataset.union`` the 3 per-source
+        transformed streams and append once (one commit per sink instead of
+        three)."""
+        if union:
+            return self._run_gold_union(use_actor=use_actor)
         out = {}
         for src, cls in flows():
             out[(src, cls)] = self._run_flow(
@@ -174,6 +181,60 @@ class Medallion:
                 use_actor=use_actor,
                 evolve=True,
             )
+        return out
+
+    def _run_gold_union(self, *, use_actor: bool) -> dict[tuple[str, str], int | None]:
+        import ray.data as rd
+
+        out: dict[tuple[str, str], int | None] = {}
+        by_class: dict[str, list[str]] = {}
+        for src, cls in flows():
+            by_class.setdefault(cls, []).append(src)
+        for cls, srcs in sorted(by_class.items()):
+            sink = self.table(GOLD_TABLES[cls])
+            parent = sink.current_snapshot_id()
+            parts: list = []
+            consumed: list[str] = []
+            for src in srcs:
+                upstream = self.table(f"silver_{src}_audit_logs")
+                tag = f"gold-{src}-{cls}"
+                new_files = self._new_upstream_files(upstream, sink, tag)
+                if not new_files:
+                    out[(src, cls)] = None
+                    continue
+                consumed.extend(new_files)
+                ds = rd.read_parquet(sorted(new_files)).map_batches(
+                    GoldTransform(src, cls),
+                    batch_format="pyarrow",
+                    batch_size=self.config.batch_size,
+                )
+                parts.append((src, ds, new_files))
+            if not parts:
+                continue
+            unioned = parts[0][1]
+            for _, ds, _ in parts[1:]:
+                unioned = unioned.union(ds)
+            sch = unioned.schema()
+            base = getattr(sch, "base_schema", None)
+            sid = sink.append_dataset(
+                unioned,
+                operation=f"flow-gold-union-{cls}",
+                use_actor=use_actor,
+                evolve_schema=base if isinstance(base, pa.Schema) else None,
+            )
+            for src, _, new_files in parts:
+                tag = f"gold-{src}-{cls}"
+                job_id = lineage.job_id_for(
+                    f"flow-{tag}", parent, params="|".join(sorted(new_files))
+                )
+                lineage.save_unit(
+                    sink.dir,
+                    job_id,
+                    lineage.unit_id(new_files),
+                    {"partition": "", "inputs": new_files, "input_rows": 0, "entries": []},
+                )
+                lineage.finalize_job(sink.dir, job_id, sid)
+                out[(src, cls)] = sid
         return out
 
     def run_all(self, fixture_root: str, *, use_actor_gold: bool = True) -> None:

@@ -82,6 +82,7 @@ def _write_sorted_batch(
     the upstream batch_size is already target-file-sized."""
     import uuid
 
+    rewrite.limit_arrow_threads()
     table = Table(table_dir, config)
     stats_cols = table.stats_cols() or None
     rows_per_file = max(

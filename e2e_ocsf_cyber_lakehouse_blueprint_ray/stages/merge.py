@@ -45,10 +45,16 @@ def _key_array(t: pa.Table) -> pa.Array:
 
 
 def _source_hash(source: pa.Table) -> str:
-    h = hashlib.blake2b(digest_size=8)
-    for c, t in zip(source["conv_id"].to_pylist(), source["turn_idx"].to_pylist()):
-        h.update(f"{c}\x1f{t}\n".encode())
-    return h.hexdigest()
+    """Deterministic digest of the source key set — hashes the Arrow key
+    array's raw buffers (C-level) instead of a per-row Python loop."""
+    keys = _key_array(source)
+    # IPC-serialize to get a layout-normalized byte image (value-stable even
+    # when the source is a slice sharing offset buffers)
+    t = pa.table({"k": keys})
+    sink = pa.BufferOutputStream()
+    with pa.ipc.new_stream(sink, t.schema) as w:
+        w.write_table(t)
+    return hashlib.blake2b(sink.getvalue(), digest_size=8).hexdigest()
 
 
 def merge(

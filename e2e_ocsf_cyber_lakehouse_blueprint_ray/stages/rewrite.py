@@ -37,6 +37,19 @@ from ..table import Table
 BIN_FIELDS = ["unit_id", "partition", "inputs_json", "in_rows", "in_bytes"]
 
 
+def limit_arrow_threads(n: int = 1, io: int = 2) -> None:
+    """Pin Arrow's internal pools inside Ray workers. Each map task is one
+    scheduling unit; with the default pool (= all cores) 32 concurrent tasks
+    spawn ~32×32 compute threads and the box thrashes — measured as 4×
+    cores running SLOWER at sf3. Idempotent, call at task start."""
+    import pyarrow as _pa
+
+    if _pa.cpu_count() != n:
+        _pa.set_cpu_count(n)
+    if _pa.io_thread_count() != io:
+        _pa.set_io_thread_count(io)
+
+
 def make_bin(inputs: list[str], partition: str, entries_by_path: dict, params: str = "") -> dict:
     """Bin descriptor row (plain dict → ray.data.from_items)."""
     return {
@@ -83,6 +96,7 @@ class BinRewriter:
     ):
         import ray
 
+        limit_arrow_threads()
         self.table = Table(table_dir, config)
         self.config = config
         self.job_id = job_id

@@ -275,6 +275,9 @@ class Table:
         def write_batch(batch: pa.Table) -> pa.Table:
             import uuid
 
+            from .stages.rewrite import limit_arrow_threads
+
+            limit_arrow_threads()
             t = Table(table_dir, cfg_)
             wid = uuid.uuid4().hex[:10]
             entries = []

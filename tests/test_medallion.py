@@ -134,3 +134,32 @@ def test_gold_incremental_noop(medallion):
 def test_fifteen_flows_registered():
     assert len(flows()) == 15
     GoldTransform("github", "account_change")  # constructs + compiles
+
+
+def test_gold_union_mode_equals_flow_mode(tmp_path_factory, ray_session):
+    """S6 alternative: per-class Dataset.union of 3 transformed streams →
+    single append; result matches the 3-appends-per-sink mode."""
+    import pyarrow.compute as pc_
+
+    root = tmp_path_factory.mktemp("medallion_union")
+    fixtures = str(root / "raw")
+    synth.write_audit_fixture(fixtures, n_per_source=60)
+    m = Medallion(str(root / "tables"), cfg.test_config())
+    m.setup()
+    m.run_bronze(fixtures)
+    m.run_silver()
+    out = m.run_gold(union=True, use_actor=False)
+    assert any(v is not None for v in out.values())
+    # rerun is a no-op (incremental consumption recorded per flow)
+    out2 = m.run_gold(union=True, use_actor=False)
+    assert all(v is None for v in out2.values())
+    # counts match an independently-run flow-mode medallion
+    m2 = Medallion(str(root / "tables2"), cfg.test_config())
+    m2.setup()
+    m2.run_bronze(fixtures)
+    m2.run_silver()
+    m2.run_gold(union=False, use_actor=False)
+    for cls, name in GOLD_TABLES.items():
+        a = m.table(name).read_arrow(columns=["class_uid"]).num_rows
+        b = m2.table(name).read_arrow(columns=["class_uid"]).num_rows
+        assert a == b, cls
