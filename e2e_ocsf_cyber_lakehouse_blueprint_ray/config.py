@@ -8,7 +8,7 @@ table properties). One dataclass instead of module-level "CHANGE ME!" globals.
 from __future__ import annotations
 
 import os
-from dataclasses import dataclass, field
+from dataclasses import dataclass
 
 
 @dataclass(frozen=True)

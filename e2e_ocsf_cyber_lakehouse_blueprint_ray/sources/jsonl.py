@@ -23,8 +23,6 @@ from __future__ import annotations
 import glob
 import os
 
-import pyarrow as pa
-
 from ..state import lineage
 from ..table import Table
 

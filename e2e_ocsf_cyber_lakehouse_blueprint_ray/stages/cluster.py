@@ -35,7 +35,7 @@ from ..hashing import curve_key, hash64_column
 from ..state import lineage
 from ..state.manifest import ENTRY_SCHEMA
 from ..table import Table
-from . import compact, rewrite
+from . import rewrite
 
 
 def add_cluster_key(

@@ -241,11 +241,15 @@ def run_bins(
     def rewrite_bin(batch: pa.Table) -> pa.Table:
         return BinRewriter(table_dir, config, job_id, **rewriter_kw)(batch)
 
+    # bundle bins so the task count is ~4 waves per slot: per-task scheduling
+    # costs the driver ~5-10 ms, and hundreds of single-bin tasks serialize
+    # into seconds of pure executor overhead at high core counts
+    per_task = max(1, -(-len(bins) // (conc * 4)))
     ds = rd.from_items(bins)
     ent_ds = ds.map_batches(
         rewrite_bin,
         batch_format="pyarrow",
-        batch_size=None,  # one block = one bin = one task
+        batch_size=per_task,
         concurrency=conc,
     )
     rows = ent_ds.take_all()
