@@ -57,6 +57,10 @@ def main(argv=None) -> int:
     sp = sub.add_parser("merge")
     add_table(sp)
     sp.add_argument("--source", required=True, help="parquet file with transcript cols + op")
+    sp = sub.add_parser("optimize")
+    add_table(sp)
+    sp.add_argument("--curve", default="zorder", choices=["zorder", "hilbert"])
+    sp.add_argument("--expire-keep", type=int, default=None)
     sp = sub.add_parser("expire")
     add_table(sp)
     sp.add_argument("--keep", type=int, default=3)
@@ -94,6 +98,17 @@ def main(argv=None) -> int:
 
         out["snapshot"] = merge.merge(
             Table(args.table), pq.read_table(args.source), use_actor=args.use_actor
+        )
+    elif args.cmd == "optimize":
+        from .stages import optimize
+
+        out.update(
+            optimize.optimize(
+                Table(args.table),
+                curve=args.curve,
+                expire_keep_last=args.expire_keep,
+                use_actor=args.use_actor,
+            )
         )
     elif args.cmd == "expire":
         from .stages import expire

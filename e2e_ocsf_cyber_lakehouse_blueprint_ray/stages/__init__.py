@@ -5,6 +5,7 @@ from . import (  # noqa: F401
     expire,
     merge,
     multimodal,
+    optimize,
     repartition,
     rewrite,
     similarity,
