@@ -242,3 +242,32 @@ class Medallion:
         self.run_bronze(fixture_root)
         self.run_silver()
         self.run_gold(use_actor=use_actor_gold)
+
+    def summary(self) -> pa.Table:
+        """The reference's unified-table analytical query
+        (``SELECT _source, class_name, ... COUNT(*) ... GROUP BY``,
+        _resources/PIPELINE_OVERVIEW.md:299-302) over all six gold sinks."""
+        rows: list[dict] = []
+        for cls, name in sorted(GOLD_TABLES.items()):
+            t = self.table(name)
+            got = t.read_arrow(columns=["_source", "class_name"])
+            if got.num_rows == 0:
+                continue
+            agg = got.group_by(["_source", "class_name"]).aggregate([([], "count_all")])
+            for r in agg.to_pylist():
+                rows.append(
+                    {
+                        "_source": r["_source"],
+                        "class_name": r["class_name"],
+                        "n_events": r["count_all"],
+                    }
+                )
+        if not rows:
+            return pa.table(
+                {
+                    "_source": pa.array([], pa.string()),
+                    "class_name": pa.array([], pa.string()),
+                    "n_events": pa.array([], pa.int64()),
+                }
+            )
+        return pa.Table.from_pylist(rows)

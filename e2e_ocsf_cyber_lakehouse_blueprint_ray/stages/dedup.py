@@ -339,3 +339,69 @@ def embedding_near_dup_pairs(ds, corpus: np.ndarray, ids: np.ndarray, *, thresho
                          "cosine": pa.array(out_s, pa.float64())})
 
     return ds.map_batches(batch_pairs, batch_format="pyarrow", batch_size=config.batch_size)
+
+
+# -- duplicate clusters (connected components over candidate pairs) ---------
+
+
+def duplicate_clusters(pairs: pa.Table, *, a_col: str = "a", b_col: str = "b") -> pa.Table:
+    """Union-find over verified duplicate pairs → (doc_id, cluster_id) with
+    cluster_id = min doc_id of the component (the canonical survivor).
+
+    The pair set is the OUTPUT of LSH + verification — orders of magnitude
+    smaller than the corpus — so a driver-side union-find is the right tool
+    (the guide's alternative, iterated min-label propagation via groupby,
+    only pays off when even the pair set is distributed-scale).
+    """
+    parent: dict[int, int] = {}
+
+    def find(x: int) -> int:
+        r = x
+        while parent.get(r, r) != r:
+            r = parent[r]
+        while parent.get(x, x) != x:
+            parent[x], x = r, parent[x]
+        return r
+
+    def union(x: int, y: int) -> None:
+        rx, ry = find(x), find(y)
+        if rx != ry:
+            if ry < rx:
+                rx, ry = ry, rx
+            parent[ry] = rx
+
+    for x, y in zip(pairs[a_col].to_pylist(), pairs[b_col].to_pylist()):
+        parent.setdefault(int(x), int(x))
+        parent.setdefault(int(y), int(y))
+        union(int(x), int(y))
+
+    ids = sorted(parent)
+    return pa.table(
+        {
+            "doc_id": pa.array(ids, pa.int64()),
+            "cluster_id": pa.array([find(i) for i in ids], pa.int64()),
+        }
+    )
+
+
+def dedup_keep_representatives(ds, pairs: pa.Table, *, id_col: str = "doc_id",
+                               config: EngineConfig = DEFAULT):
+    """Filter a corpus Dataset down to near-dup cluster representatives: the
+    min-id member of each duplicate cluster survives; singletons (no pair)
+    pass through. Broadcast the (small) drop set; no shuffle."""
+    import ray
+
+    clusters = duplicate_clusters(pairs)
+    drop = {
+        int(d)
+        for d, c in zip(clusters["doc_id"].to_pylist(), clusters["cluster_id"].to_pylist())
+        if d != c
+    }
+    ref = ray.put(np.fromiter(drop, dtype=np.int64, count=len(drop)))
+
+    def keep(batch: pa.Table) -> pa.Table:
+        dropped = ray.get(ref)
+        ids = batch[id_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        return batch.filter(pa.array(~np.isin(ids, dropped)))
+
+    return ds.map_batches(keep, batch_format="pyarrow", batch_size=config.batch_size)

@@ -163,3 +163,11 @@ def test_gold_union_mode_equals_flow_mode(tmp_path_factory, ray_session):
         a = m.table(name).read_arrow(columns=["class_uid"]).num_rows
         b = m2.table(name).read_arrow(columns=["class_uid"]).num_rows
         assert a == b, cls
+
+
+def test_summary_query(medallion):
+    m, _ = medallion
+    s = m.summary()
+    assert s.num_rows > 0
+    assert s.schema.names == ["_source", "class_name", "n_events"]
+    assert int(pc.sum(s["n_events"]).as_py()) > 0

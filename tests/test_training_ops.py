@@ -188,3 +188,16 @@ def test_multimodal_plumbing(docs_ds, ray_session):
     assert all(sorted(v) == [0, 1, 2] for v in per.values())
     with pytest.raises(NotImplementedError):
         multimodal.ImageDecoder(use_real_codec=True)
+
+
+def test_duplicate_clusters_and_representatives(ray_session):
+    import ray.data as rd
+
+    pairs = pa.table({"a": pa.array([1, 2, 7], pa.int64()), "b": pa.array([2, 3, 8], pa.int64())})
+    cl = dedup.duplicate_clusters(pairs)
+    got = dict(zip(cl["doc_id"].to_pylist(), cl["cluster_id"].to_pylist()))
+    assert got == {1: 1, 2: 1, 3: 1, 7: 7, 8: 7}
+    corpus = pa.table({"doc_id": pa.array([1, 2, 3, 5, 7, 8], pa.int64()),
+                       "text": pa.array(list("abcdef"))})
+    kept = dedup.dedup_keep_representatives(rd.from_arrow(corpus), pairs, config=CONF).take_all()
+    assert sorted(r["doc_id"] for r in kept) == [1, 5, 7]
