@@ -510,6 +510,19 @@ def q_conv_stats(sf_dir: str):
     return final.rename_columns(["conv_id", "n_turns", "n_tool_turns", "first_ts", "last_ts"])
 
 
+def q_maint_optimize_scan(sf_dir: str):
+    """The one-call OPTIMIZE job (compact → auto-cluster → expire)."""
+    from ..stages import optimize as optimize_mod
+
+    work = tempfile.mkdtemp(prefix="maint-", dir=cfg.scratch_dir())
+    try:
+        t = derive.build_maintenance_table(sf_dir, os.path.join(work, "tbl"), CONF)
+        optimize_mod.optimize(t, expire_keep_last=1)
+        return derive.sorted_scan_arrow(t)
+    finally:
+        shutil.rmtree(work, ignore_errors=True)
+
+
 def q_maint_pruned_scan(sf_dir: str):
     """Stats-pruned scan of one conversation (file skipping via manifest)."""
     work = tempfile.mkdtemp(prefix="maint-", dir=cfg.scratch_dir())
@@ -778,6 +791,7 @@ def queries() -> dict:
         "q_maint_merge_scan": q_maint_merge_scan,
         "q_maint_full_scan": q_maint_full_scan,
         "q_maint_pruned_scan": q_maint_pruned_scan,
+        "q_maint_optimize_scan": q_maint_optimize_scan,
         "q_maint_time_scan": q_maint_time_scan,
         "q_conv_stats": q_conv_stats,
         # training-data ops
@@ -903,6 +917,7 @@ def oracle_sql() -> dict:
         "q_maint_merge_scan": _M + _MERGED_SELECT,
         "q_maint_full_scan": _M + _MERGED_SELECT,
         "q_maint_pruned_scan": _T + _TRANSCRIPT_SELECT + " WHERE conv_id = 'conv-00000042'",
+        "q_maint_optimize_scan": _T + _TRANSCRIPT_SELECT,
         "q_maint_time_scan": _T + _TRANSCRIPT_SELECT
         + " WHERE ts >= TIMESTAMP '2024-01-08' AND ts <= TIMESTAMP '2024-01-14 23:59:59.999999'",
         "q_conv_stats": _T + """

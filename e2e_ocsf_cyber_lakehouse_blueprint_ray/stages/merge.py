@@ -104,10 +104,16 @@ def merge(
         convs = chunk["conv_id"]
         conv_ranges[part] = (pc.min(convs).as_py(), pc.max(convs).as_py())
 
-    # plan: touched files = partition has source keys AND conv_id stats overlap
+    # plan: touched files = partition has source keys AND conv_id stats
+    # overlap. Units are byte-capped BINS of touched files (a hot partition
+    # must not become one unbounded task); upserts/inserts attach to the
+    # partition's FIRST bin only, deletes/updates drop keys in every bin —
+    # per-file anti-join is correct because a key lives in exactly the files
+    # whose stats cover it, and they are all in some bin.
     units: list[dict] = []
     removed: list[str] = []
     params = _source_hash(source)
+    bin_cap = max(table.config.target_file_bytes, 1)
     for part, (lo, hi) in sorted(conv_ranges.items()):
         touched = []
         for r in by_path.values():
@@ -121,11 +127,26 @@ def merge(
             if cmax is not None and cmax < lo:
                 continue
             touched.append(r["path"])
-        unit = rewrite.make_bin(sorted(touched), part, by_path, params=params)
-        if not touched:
-            unit["unit_id"] = lineage.unit_id([f"<empty:{part}>"], params)
-        units.append(unit)
+        touched.sort()
         removed.extend(touched)
+        if not touched:
+            unit = rewrite.make_bin([], part, by_path, params=params)
+            unit["unit_id"] = lineage.unit_id([f"<empty:{part}>"], params)
+            unit["apply_extra"] = True
+            units.append(unit)
+            continue
+        bins: list[list[str]] = [[]]
+        cur_bytes = 0
+        for p in touched:
+            if bins[-1] and cur_bytes + by_path[p]["bytes"] > bin_cap:
+                bins.append([])
+                cur_bytes = 0
+            bins[-1].append(p)
+            cur_bytes += by_path[p]["bytes"]
+        for i, b in enumerate(bins):
+            unit = rewrite.make_bin(b, part, by_path, params=params)
+            unit["apply_extra"] = i == 0  # upserts land in ONE bin per partition
+            units.append(unit)
 
     job_id = lineage.job_id_for("merge", parent, params)
     # two-level broadcast: outer dict holds one ObjectRef per partition so a

@@ -115,7 +115,9 @@ class BinRewriter:
         tabs = [pq.read_table(os.path.join(self.table.dir, p)) for p in inputs]
         return pa.concat_tables(tabs).combine_chunks() if tabs else None
 
-    def _apply_merge(self, t: pa.Table | None, partition: str) -> pa.Table | None:
+    def _apply_merge(
+        self, t: pa.Table | None, partition: str, apply_extra: bool = True
+    ) -> pa.Table | None:
         import ray
 
         dk = self.delete_keys.get(partition)
@@ -126,7 +128,7 @@ class BinRewriter:
             )
             t = t.filter(pc.invert(pc.is_in(key, value_set=dk)))
         ex = self.extra.get(partition)
-        if ex is not None:
+        if ex is not None and apply_extra:
             ex = ray.get(ex) if isinstance(ex, ray.ObjectRef) else ex
             ex_t = pa.ipc.open_stream(ex).read_all()
             t = ex_t if t is None else pa.concat_tables([t, ex_t]).combine_chunks()
@@ -178,7 +180,7 @@ class BinRewriter:
         inputs = json.loads(unit["inputs_json"])
         partition = unit["partition"]
         t = self._read_inputs(inputs)
-        t = self._apply_merge(t, partition)
+        t = self._apply_merge(t, partition, bool(unit.get("apply_extra", True)))
         entries: list[dict] = []
         if t is not None and t.num_rows:
             t = self._sorted(t)

@@ -61,3 +61,22 @@ def test_merge_chunked_matches_single_merge(tmp_path, ray_session):
     merge_mod.merge(t, src)  # routes through merge_chunked
     assert t.current_snapshot_id() > 2  # several atomic chunk commits
     assert sorted_scan(t).equals(synth.apply_merge_expected(data, src))
+
+
+def test_merge_with_multi_bin_partitions(tmp_path, ray_session):
+    """Byte-capped merge units: several bins per partition, upserts applied
+    exactly once (hot-partition memory-bound path)."""
+    data = synth.transcripts(0.001)
+    src = synth.merge_source(data)
+    tiny = dataclasses.replace(CONF, target_file_bytes=16 * 1024)  # force multi-bin
+    t = Table.create(
+        str(tmp_path / "tbl"),
+        TRANSCRIPT,
+        partition_spec=f"hash:conv_id:{tiny.num_partitions}",
+        config=tiny,
+        stats_cols=TRANSCRIPT_STATS_COLS,
+    )
+    t.write_table(data, rows_per_file=150)
+    from e2e_ocsf_cyber_lakehouse_blueprint_ray.stages.merge import _source_hash  # noqa: F401
+    merge_mod.merge(t, src)
+    assert sorted_scan(t).equals(synth.apply_merge_expected(data, src))
