@@ -311,6 +311,32 @@ class Table:
             evolve_schema=evolve_schema,
         )
 
+    def rollback(self, snapshot_id: int, *, use_actor: bool = False) -> int:
+        """Time-travel restore: commit a NEW snapshot whose live-file set is
+        that of ``snapshot_id`` (Delta RESTORE analog). History is preserved
+        — nothing is deleted, and expiry rules still apply later."""
+        target_entries, _ = self.snapshot(snapshot_id)
+        cur_entries = self.entries()
+        cur_paths = set(cur_entries["path"].to_pylist())
+        target_paths = set(target_entries["path"].to_pylist())
+        missing = [
+            p for p in target_paths if not os.path.exists(os.path.join(self.dir, p))
+        ]
+        if missing:
+            raise FileNotFoundError(
+                f"rollback target {snapshot_id} references expired files: {missing[:3]}..."
+            )
+        added = target_entries.filter(
+            pa.array([p not in cur_paths for p in target_entries["path"].to_pylist()])
+        )
+        removed = [p for p in cur_paths if p not in target_paths]
+        return self.commit(
+            added=added if added.num_rows else None,
+            removed=removed,
+            operation=f"rollback-to-{snapshot_id}",
+            use_actor=use_actor,
+        )
+
     # -- commit -------------------------------------------------------------
 
     def commit(

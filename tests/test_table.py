@@ -105,3 +105,20 @@ def test_snapshot_isolation_pinned_reader(tmp_table_dir):
     assert t.current_snapshot_id() == s1 + 1
     assert t.read_arrow(snapshot_id=s1).num_rows == data.num_rows
     assert t.read_arrow().num_rows == data.num_rows + 100
+
+
+def test_rollback_time_travel(tmp_table_dir, ray_session):
+    from e2e_ocsf_cyber_lakehouse_blueprint_ray.stages import compact as compact_mod
+    from e2e_ocsf_cyber_lakehouse_blueprint_ray.stages import merge as merge_mod
+
+    data = synth.transcripts(0.001)
+    t = make_table(tmp_table_dir, data)          # snap 1
+    compact_mod.compact(t)                        # snap 2
+    src = synth.merge_source(data)
+    merge_mod.merge(t, src)                       # snap 3 (mutated)
+    pre = sorted_scan(t, snapshot_id=2)
+    sid = t.rollback(2)                           # snap 4 = content of snap 2
+    assert sid == 4
+    assert sorted_scan(t).equals(pre)
+    # the merged snapshot remains readable (history preserved)
+    assert sorted_scan(t, snapshot_id=3).num_rows != pre.num_rows
