@@ -72,18 +72,23 @@ def compact(
     crash re-plans the identical bins, finds completed units in the lineage
     checkpoint and only rewrites the remainder.
     """
+    from .. import schema as schema_mod
+
     parent = table.current_snapshot_id()
     bins = plan_compaction(table)
     if not bins:
         return None
+    if sort_key is None:
+        sch = table.schema(parent)
+        sort_key = schema_mod.sort_key(sch) if sch is not None else []
     job_id = lineage.job_id_for("compact", parent)
     added = rewrite.run_bins(
         table,
         bins,
         job_id,
         concurrency=concurrency,
-        sort_mode="key",
-        sort_key=sort_key or ["conv_id", "turn_idx"],
+        sort_mode="key" if sort_key else "none",
+        sort_key=sort_key,
         fail_after=fail_after,
     )
     removed = [p for b in bins for p in json.loads(b["inputs_json"])]

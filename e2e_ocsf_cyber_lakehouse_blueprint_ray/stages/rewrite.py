@@ -152,7 +152,10 @@ class BinRewriter:
             )
             idx = pc.sort_indices(pa.table({"z": zk}), sort_keys=[("z", "ascending")])
             return t.take(idx)
-        idx = pc.sort_indices(t, sort_keys=[(k, "ascending") for k in self.sort_key])
+        keys = [k for k in self.sort_key if k in t.schema.names]
+        if not keys:
+            return t
+        idx = pc.sort_indices(t, sort_keys=[(k, "ascending") for k in keys])
         return t.take(idx)
 
     def _split_rows(self, in_rows: int, in_bytes: int, total_rows: int) -> int:

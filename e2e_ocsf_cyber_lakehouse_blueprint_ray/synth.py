@@ -221,12 +221,13 @@ def _pick(vocab: list[str], i: int, src: str) -> str:
     return vocab[hash64_str(f"{SEED}:{src}:{i}") % len(vocab)]
 
 
-def audit_events(source: str, n: int = 125) -> list[str]:
+def audit_events(source: str, n: int = 125, start: int = 0) -> list[str]:
     """JSONL lines for one source, mirroring the reference field sets
     (silver_github_audit_logs.py:40-66 / silver_slack_audit_logs.py:40-67 /
-    silver_atlassian_audit_logs.py:40-78)."""
+    silver_atlassian_audit_logs.py:40-78). ``start`` offsets event ids so a
+    second wave produces distinct events."""
     out = []
-    for i in range(n):
+    for i in range(start, start + n):
         h = hash64_str(f"{SEED}:{source}:ev:{i}")
         t = _AUDIT_BASE_S + (h % (30 * 86_400))
         user = f"user{h % 40}"
@@ -333,19 +334,31 @@ def audit_events(source: str, n: int = 125) -> list[str]:
     return out
 
 
-def write_audit_fixture(root: str, n_per_source: int = 125, files_per_source: int = 5) -> dict[str, list[str]]:
-    """Write JSONL fixture files under root/<source>/*.jsonl; returns paths."""
+def write_audit_fixture(
+    root: str,
+    n_per_source: int = 125,
+    files_per_source: int = 5,
+    *,
+    wave: str = "audit",
+    start: int = 0,
+) -> dict[str, list[str]]:
+    """Write JSONL fixture files under root/<source>/<wave>-*.jsonl.
+
+    ``wave`` names a batch of files — writing a second wave into the same
+    root simulates new files arriving for the incremental (Auto Loader
+    analog) ingest path.
+    """
     import os
 
     paths: dict[str, list[str]] = {}
     for src in ("github", "slack", "atlassian"):
         d = os.path.join(root, src)
         os.makedirs(d, exist_ok=True)
-        lines = audit_events(src, n_per_source)
+        lines = audit_events(src, n_per_source, start)
         per = max(1, len(lines) // files_per_source)
         paths[src] = []
         for k in range(0, len(lines), per):
-            p = os.path.join(d, f"audit-{k // per:04d}.jsonl")
+            p = os.path.join(d, f"{wave}-{k // per:04d}.jsonl")
             with open(p, "w") as f:
                 f.write("\n".join(lines[k : k + per]) + "\n")
             paths[src].append(p)
