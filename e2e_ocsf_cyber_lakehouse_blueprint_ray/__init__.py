@@ -17,3 +17,16 @@ Nothing here calls ``ray.init()``; the hosting process owns the Ray session.
 """
 
 __version__ = "0.1.0"
+
+
+def __getattr__(name):
+    # lazy convenience exports: `from e2e_ocsf_cyber_lakehouse_blueprint_ray import Table`
+    if name == "Table":
+        from .table import Table
+
+        return Table
+    if name == "EngineConfig":
+        from .config import EngineConfig
+
+        return EngineConfig
+    raise AttributeError(name)

@@ -234,6 +234,36 @@ def q05_region_revenue(sf_dir: str):
     return agg.map_batches(rename, batch_format="pyarrow")
 
 
+def q06_forecast_revenue(sf_dir: str):
+    """TPC-H Q6 shape: pure filter + single-row aggregate (read-pruned to
+    the four needed columns; one exact int reduction)."""
+    ds = _read(sf_dir, "lineitem", ["l_shipdate", "l_discount", "l_quantity", "l_extendedprice"])
+    lo = np.datetime64("1996-01-01T00:00:00.000000")
+    hi = np.datetime64("1997-01-01T00:00:00.000000")
+
+    def partial(b: pa.Table) -> pa.Table:
+        ship = b["l_shipdate"].to_numpy(zero_copy_only=False)
+        disc = b["l_discount"].to_numpy(zero_copy_only=False).astype(np.float64)
+        qty = b["l_quantity"].to_numpy(zero_copy_only=False).astype(np.float64)
+        ep = b["l_extendedprice"].to_numpy(zero_copy_only=False).astype(np.float64)
+        m = (ship >= lo) & (ship < hi) & (disc >= 0.05) & (disc <= 0.07) & (qty < 24)
+        rev = _cents(ep[m] * disc[m], 10000)
+        return pa.table(
+            {
+                "revenue_c": pa.array([int(rev.sum())], pa.int64()),
+                "n": pa.array([int(m.sum())], pa.int64()),
+            }
+        )
+
+    parts = ds.map_batches(partial, batch_format="pyarrow", batch_size=CONF.batch_size).take_all()
+    return pa.table(
+        {
+            "revenue_c": pa.array([sum(r["revenue_c"] for r in parts)], pa.int64()),
+            "n": pa.array([sum(r["n"] for r in parts)], pa.int64()),
+        }
+    )
+
+
 def q_mktsegment_orders(sf_dir: str):
     """orders ⋈ customer broadcast; count + exact cent sums per segment."""
     cust = _pq(sf_dir, "customer", ["c_custkey", "c_mktsegment"])
@@ -772,6 +802,7 @@ def queries() -> dict:
         "q01_pricing_summary": q01_pricing_summary,
         "q03_top_orders": q03_top_orders,
         "q05_region_revenue": q05_region_revenue,
+        "q06_forecast_revenue": q06_forecast_revenue,
         "q_mktsegment_orders": q_mktsegment_orders,
         "q_topk_lineitem": q_topk_lineitem,
         "q_distinct_event_types": q_distinct_event_types,
@@ -852,6 +883,13 @@ def oracle_sql() -> dict:
             JOIN region r ON n.n_regionkey = r.r_regionkey
             WHERE r.r_name = 'ASIA' AND c.c_nationkey = s.s_nationkey
             GROUP BY n.n_name
+        """,
+        "q06_forecast_revenue": """
+            SELECT CAST(SUM(CAST(FLOOR(l_extendedprice * l_discount * 10000 + 0.5) AS BIGINT)) AS BIGINT) AS revenue_c,
+                   COUNT(*) AS n
+            FROM lineitem
+            WHERE l_shipdate >= TIMESTAMP '1996-01-01' AND l_shipdate < TIMESTAMP '1997-01-01'
+              AND l_discount BETWEEN 0.05 AND 0.07 AND l_quantity < 24
         """,
         "q_mktsegment_orders": """
             SELECT c.c_mktsegment, COUNT(*) AS n_orders,

@@ -127,6 +127,8 @@ def cluster(
     *,
     mode: str = "auto",
     curve: str | None = None,
+    key_col: str | None = None,
+    ts_col: str | None = None,
     concurrency: int | None = None,
     use_actor: bool = False,
     fail_after: int | None = None,
@@ -138,6 +140,15 @@ def cluster(
     if ents.num_rows == 0:
         return None
     removed = ents["path"].to_pylist()
+    sch = table.schema(parent)
+    names = set(sch.names) if sch is not None else set()
+    if ts_col is None:
+        ts_col = next((c for c in ("ts", "time", "_event_time") if c in names), "ts")
+    if key_col is None:
+        key_col = "conv_id" if "conv_id" in names else ""
+    # no key column ⇒ clustering degenerates to a pure time sort per
+    # partition — the reference's gold-table ``CLUSTER BY (time)``
+    # (post_setup_ocsf_tables.py:44)
 
     if mode == "auto":
         part_bytes: dict[str, int] = {}
@@ -159,9 +170,16 @@ def cluster(
             concurrency=concurrency,
             sort_mode="zorder",
             curve=curve,
+            cluster_key_col=key_col or "__missing__",
+            cluster_ts_col=ts_col,
             fail_after=fail_after,
         )
     elif mode == "global":
+        if not key_col or key_col not in names:
+            raise ValueError(
+                "global cluster mode needs the hash key column "
+                "(conv_id); key-less tables cluster per partition"
+            )
         spec = table.partition_spec(parent)
         num_partitions = int(spec.rsplit(":", 1)[1]) if spec.startswith("hash:") else 1
         total_rows = int(pc.sum(ents["rows"]).as_py() or 0)

@@ -90,6 +90,8 @@ class BinRewriter:
         sort_mode: str = "key",
         sort_key: list[str] | None = None,
         curve: str | None = None,
+        cluster_key_col: str = "conv_id",
+        cluster_ts_col: str = "ts",
         extra_rows_ref=None,
         delete_keys_ref=None,
         fail_after: int | None = None,
@@ -103,6 +105,8 @@ class BinRewriter:
         self.sort_mode = sort_mode
         self.sort_key = sort_key or ["conv_id", "turn_idx"]
         self.curve = curve or config.curve
+        self.cluster_key_col = cluster_key_col
+        self.cluster_ts_col = cluster_ts_col
         self.extra = ray.get(extra_rows_ref) if extra_rows_ref is not None else {}
         self.delete_keys = ray.get(delete_keys_ref) if delete_keys_ref is not None else {}
         self.stats_cols = self.table.stats_cols() or None
@@ -138,19 +142,25 @@ class BinRewriter:
         if self.sort_mode == "none" or t.num_rows == 0:
             return t
         if self.sort_mode == "zorder":
-            ts64 = t["ts"].cast(pa.int64()).to_numpy(zero_copy_only=False)
+            tcol = self.cluster_ts_col
+            ts64 = t[tcol].cast(pa.int64()).to_numpy(zero_copy_only=False)
             # normalize ts within the bin (per-partition clustering orders
             # rows locally, so the local min/max IS the right range)
             rng = (int(ts64.min()), int(ts64.max())) if len(ts64) else None
-            zk = curve_key(
-                hash64_column(t["conv_id"]),
-                ts64,
-                bucket_s=self.config.zorder_ts_bucket_s,
-                curve=self.curve,
-                bits=self.config.curve_bits,
-                ts_range=rng,
-            )
-            idx = pc.sort_indices(pa.table({"z": zk}), sort_keys=[("z", "ascending")])
+            if self.cluster_key_col in t.schema.names:
+                zk = curve_key(
+                    hash64_column(t[self.cluster_key_col]),
+                    ts64,
+                    bucket_s=self.config.zorder_ts_bucket_s,
+                    curve=self.curve,
+                    bits=self.config.curve_bits,
+                    ts_range=rng,
+                )
+                idx = pc.sort_indices(pa.table({"z": zk}), sort_keys=[("z", "ascending")])
+                return t.take(idx)
+            # no key column (e.g. gold tables): clustering degenerates to a
+            # pure time sort — exactly the reference's CLUSTER BY (time)
+            idx = pc.sort_indices(t, sort_keys=[(tcol, "ascending")])
             return t.take(idx)
         keys = [k for k in self.sort_key if k in t.schema.names]
         if not keys:

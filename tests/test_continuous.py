@@ -45,7 +45,7 @@ def test_two_wave_incremental_medallion(tmp_path_factory, ray_session):
     name = next(n for c, n in GOLD_TABLES.items() if m.table(n).read_arrow().num_rows > 0)
     g = m.table(name)
     before = g.read_arrow().sort_by([("time", "ascending"), ("_source", "ascending")])
-    optimize_mod.optimize(g, cluster=False)  # gold lacks conv_id; compact+sort by time
+    optimize_mod.optimize(g)  # key-less gold table: clusters by time alone
     after = g.read_arrow().sort_by([("time", "ascending"), ("_source", "ascending")])
     assert after.num_rows == before.num_rows
 
