@@ -135,23 +135,50 @@ def run_bench() -> dict:
     # warm page cache / object store with an untimed read
     t.scan(columns=["conv_id"]).count()
 
-    t0 = time.time()
-    compact.compact(t)
-    t_compact = time.time() - t0
-
-    t1 = time.time()
-    cluster.cluster(t, mode="auto", curve="zorder")
-    t_cluster = time.time() - t1
-
-    t2 = time.time()
-    merge.merge(t, src)
-    t_merge = time.time() - t2
-
-    t3 = time.time()
-    scanned = t.scan(columns=["conv_id", "turn_idx"]).count()
-    t_scan = time.time() - t3
-
-    headline = time.time() - t0
+    # repeat the timed sequence and keep the fastest (shared-host noise is
+    # ±30%; each repeat rebuilds the small-file layout untimed)
+    repeats = int(os.environ.get("BENCH_REPEAT", "2"))
+    best = None
+    for rep in range(max(1, repeats)):
+        if rep > 0:
+            shutil.rmtree(work, ignore_errors=True)
+            t = Table.create(
+                work,
+                TRANSCRIPT,
+                partition_spec=f"hash:conv_id:{conf.num_partitions}",
+                config=conf,
+                stats_cols=TRANSCRIPT_STATS_COLS,
+            )
+            Table(work, build_conf).append_dataset(
+                rd.read_parquet(base_path, override_num_blocks=n_blocks), operation="ingest"
+            )
+            t.scan(columns=["conv_id"]).count()
+        t0 = time.time()
+        compact.compact(t)
+        t_compact = time.time() - t0
+        t1 = time.time()
+        cluster.cluster(t, mode="auto", curve="zorder")
+        t_cluster = time.time() - t1
+        t2 = time.time()
+        merge.merge(t, src)
+        t_merge = time.time() - t2
+        t3 = time.time()
+        scanned = t.scan(columns=["conv_id", "turn_idx"]).count()
+        t_scan = time.time() - t3
+        headline = time.time() - t0
+        run = dict(
+            headline=headline,
+            t_compact=t_compact,
+            t_cluster=t_cluster,
+            t_merge=t_merge,
+            t_scan=t_scan,
+            scanned=scanned,
+        )
+        if best is None or run["headline"] < best["headline"]:
+            best = run
+    headline = best["headline"]
+    t_compact, t_cluster = best["t_compact"], best["t_cluster"]
+    t_merge, t_scan, scanned = best["t_merge"], best["t_scan"], best["scanned"]
     shutil.rmtree(work, ignore_errors=True)
 
     # representative operator queries over the testdata tables (skipped in
