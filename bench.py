@@ -234,6 +234,7 @@ def run_scaling():
             RAY_GRAFT_CPUS=str(ncpu),
             GRAFT_SF_DIR=f"/root/testdata/sf{scaling_sf}",
             BENCH_MAINT_ONLY="1",
+            BENCH_REPEAT="1",  # repeats happen at the scaling level (min-of-N runs)
         )
         p = subprocess.run(
             [sys.executable, os.path.abspath(__file__)],
