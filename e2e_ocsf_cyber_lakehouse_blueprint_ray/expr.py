@@ -138,10 +138,37 @@ def from_unixtime_s(arr: pa.Array) -> pa.Array:
 
 
 def to_timestamp_iso(arr: pa.Array) -> pa.Array:
-    """ISO-8601 strings → timestamp[us], null on parse failure
-    (bronze_atlassian_audit_logs.py:20)."""
-    cleaned = pc.replace_substring_regex(arr, r"(\.\d+)?(Z|[+-]\d\d:?\d\d)?$", "")
-    return pc.strptime(cleaned, format="%Y-%m-%dT%H:%M:%S", unit="us", error_is_null=True)
+    """ISO-8601 strings → timestamp[us] normalized to UTC, null on parse
+    failure (Spark ``to_timestamp`` semantics, bronze_atlassian_audit_logs.py:20).
+
+    Offset-bearing strings (``+05:30``, ``Z``) are CONVERTED to UTC via a
+    ``%z``-aware parse — not stripped — and fractional seconds are kept
+    (re-added as integer microseconds, since ``%z`` + ``%f`` can't combine in
+    one strptime format). Offset-less strings are treated as UTC.
+    """
+    arr = arr.combine_chunks() if isinstance(arr, pa.ChunkedArray) else arr
+    # capture fractional seconds (pad/truncate to 6 digits = microseconds)
+    frac = pc.extract_regex(arr, r"\.(?P<f>\d+)")
+    frac_str = pc.struct_field(frac, "f")
+    frac_us = pc.cast(
+        pc.utf8_slice_codeunits(
+            pc.binary_join_element_wise(pc.fill_null(frac_str, "0"), "000000", ""), 0, 6
+        ),
+        pa.int64(),
+    )
+    # normalize: drop fraction, 'Z'→'+0000', '+05:30'→'+0530', none→'+0000'
+    base = pc.replace_substring_regex(arr, r"\.\d+", "")
+    base = pc.replace_substring_regex(base, r"Z$", "+0000")
+    base = pc.replace_substring_regex(base, r"([+-]\d\d):(\d\d)$", r"\1\2")
+    has_off = pc.match_substring_regex(base, r"[+-]\d{4}$")
+    base = pc.if_else(
+        pc.fill_null(has_off, False),
+        base,
+        pc.binary_join_element_wise(pc.fill_null(base, ""), "+0000", ""),
+    )
+    ts = pc.strptime(base, format="%Y-%m-%dT%H:%M:%S%z", unit="us", error_is_null=True)
+    ts = pc.cast(ts, pa.timestamp("us"))  # tz=UTC → naive UTC instant
+    return pc.cast(pc.add(pc.cast(ts, pa.int64()), frac_us), pa.timestamp("us"))
 
 
 def to_date(ts: pa.Array) -> pa.Array:

@@ -92,12 +92,30 @@ class Medallion:
     # -- incremental flow helper (S3 streaming-table analog) -------------
 
     def _new_upstream_files(self, upstream: Table, downstream: Table, tag: str) -> list[str]:
+        import json
+
+        from ..state import manifest
+
         log = lineage.read_log(downstream.dir)
         seen: set[str] = set()
+        max_logged = -1
         if log.num_rows:
-            for files, job in zip(log["input_files"].to_pylist(), log["job_id"].to_pylist()):
+            for files, job, snap in zip(
+                log["input_files"].to_pylist(),
+                log["job_id"].to_pylist(),
+                log["snapshot_id"].to_pylist(),
+            ):
                 if job.startswith(f"flow-{tag}"):
                     seen.update(files)
+                    max_logged = max(max_logged, int(snap))
+        # crash-window safety (mirrors sources/jsonl.consumed_files): commits
+        # record their consumed upstream files atomically in snapshot extras
+        for sid in manifest.list_snapshot_ids(downstream.dir):
+            if sid <= max_logged:
+                continue
+            raw = manifest.snapshot_extra(downstream.dir, sid).get("flow_inputs")
+            if raw:
+                seen.update(json.loads(raw).get(tag, []))
         return [p for p in upstream.live_files() if p not in seen]
 
     def _run_flow(self, upstream: Table, downstream: Table, tag: str, transform, *, use_actor: bool, evolve: bool) -> int | None:
@@ -121,12 +139,15 @@ class Medallion:
             base = getattr(sch, "base_schema", None)
             if isinstance(base, pa.Schema):
                 schema_probe = base
+        import json
+
         parent = downstream.current_snapshot_id()
         sid = downstream.append_dataset(
             out,
             operation=f"flow-{tag}",
             use_actor=use_actor,
             evolve_schema=schema_probe,
+            extra={"flow_inputs": json.dumps({tag: sorted(new_files)})},
         )
         job_id = lineage.job_id_for(f"flow-{tag}", parent, params="|".join(sorted(new_files)))
         lineage.save_unit(
@@ -214,6 +235,8 @@ class Medallion:
             unioned = parts[0][1]
             for _, ds, _ in parts[1:]:
                 unioned = unioned.union(ds)
+            import json
+
             sch = unioned.schema()
             base = getattr(sch, "base_schema", None)
             sid = sink.append_dataset(
@@ -221,6 +244,11 @@ class Medallion:
                 operation=f"flow-gold-union-{cls}",
                 use_actor=use_actor,
                 evolve_schema=base if isinstance(base, pa.Schema) else None,
+                extra={
+                    "flow_inputs": json.dumps(
+                        {f"gold-{src}-{cls}": sorted(nf) for src, _, nf in parts}
+                    )
+                },
             )
             for src, _, new_files in parts:
                 tag = f"gold-{src}-{cls}"

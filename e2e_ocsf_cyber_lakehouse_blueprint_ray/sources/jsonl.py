@@ -5,35 +5,53 @@ Reference: ``spark.readStream.format("cloudFiles")`` with
 checkpoint/schema location (/root/reference/transformations/pipelines/github/
 audit_logs/bronze_github_audit_logs.py:43-50; paths utilities/utils.py:29-39).
 
-Our exactly-once story is file-granularity: the set of already-ingested input
-files is recorded in the target table's committed lineage log
-(state/lineage.py); each ``ingest_jsonl`` call lists the directory, subtracts
-the consumed set, reads ONLY the new files (``ray.data.read_text`` → one row
-per JSON line, ``include_paths=True`` giving the reference's
+Our exactly-once story is file-granularity: the set of consumed input files
+is recorded ATOMICALLY WITH the append commit, in the committed snapshot's
+extra metadata (``engine.x.ingest_inputs``), and mirrored into the lineage
+log (state/lineage.py) right after. ``consumed_files`` unions both, so there
+is no crash window in either direction: crash before the commit ⇒ nothing
+consumed, next run re-reads the new files (the append never became visible);
+crash between commit and lineage write ⇒ the snapshot metadata already names
+the files. Each ``ingest_jsonl`` call lists the directory, subtracts the
+consumed set, reads ONLY the new files (``ray.data.read_text`` → one row per
+JSON line, ``include_paths=True`` giving the reference's
 ``_metadata.file_path`` column, bronze_github_audit_logs.py:26), applies the
-caller's transform and appends + commits with per-file lineage. Crash before
-commit ⇒ next run re-reads the same new files and overwrites deterministic
-outputs; crash after ⇒ files are in the consumed set. A 100 TB deployment
-lists object-store prefixes the same way — listing cost is per-ingest-cycle,
-not per-file-read, and the read itself streams.
+caller's transform and appends + commits. A 100 TB deployment lists
+object-store prefixes the same way — listing cost is per-ingest-cycle, not
+per-file-read, and the read itself streams.
 """
 
 from __future__ import annotations
 
 import glob
+import json
 import os
 
-from ..state import lineage
+from ..state import lineage, manifest
 from ..table import Table
 
 
 def consumed_files(table: Table) -> set[str]:
-    log = lineage.read_log(table.dir)
     out: set[str] = set()
+    log = lineage.read_log(table.dir)
+    max_logged = -1
     if log.num_rows:
-        for files, job in zip(log["input_files"].to_pylist(), log["job_id"].to_pylist()):
+        for files, job, snap in zip(
+            log["input_files"].to_pylist(),
+            log["job_id"].to_pylist(),
+            log["snapshot_id"].to_pylist(),
+        ):
             if job.startswith("ingest"):
                 out.update(files)
+                max_logged = max(max_logged, int(snap))
+    # crash-window safety: snapshots committed after the newest finalized
+    # lineage record carry their consumed set in snapshot metadata
+    for sid in manifest.list_snapshot_ids(table.dir):
+        if sid <= max_logged:
+            continue
+        raw = manifest.snapshot_extra(table.dir, sid).get("ingest_inputs")
+        if raw:
+            out.update(json.loads(raw))
     return out
 
 
@@ -67,8 +85,14 @@ def ingest_jsonl(
     )
     parent = table.current_snapshot_id()
     job_id = lineage.job_id_for("ingest", parent, params="|".join(new))
-    sid = table.append_dataset(out, operation="ingest", use_actor=use_actor)
-    # record consumed input files in the committed lineage log
+    # consumed-file record rides IN the commit (snapshot extra metadata) so
+    # it is atomic with data visibility; the lineage log below mirrors it
+    sid = table.append_dataset(
+        out,
+        operation="ingest",
+        use_actor=use_actor,
+        extra={"ingest_inputs": json.dumps(sorted(new))},
+    )
     uid = lineage.unit_id(new)
     lineage.save_unit(
         table.dir,

@@ -55,9 +55,19 @@ def exact_dedup(ds, *, text_col: str = "text", id_col: str = "doc_id", config: E
     )
 
     def first(g: pa.Table) -> pa.Table:
-        idx = pc.sort_indices(g, sort_keys=[(id_col, "ascending")])
-        keep = g.take(idx.slice(0, 1)).drop_columns(["_h"])
-        return keep.append_column("dupes", pa.array([g.num_rows], pa.int64()))
+        # guard against 64-bit hash collisions: sub-group by the ACTUAL text
+        # within the hash group (the shuffle key stays the 8-byte hash; this
+        # equality check touches only the few rows that collided). One
+        # surviving min-id row per distinct text.
+        idx = pc.sort_indices(
+            g, sort_keys=[(text_col, "ascending"), (id_col, "ascending")]
+        )
+        g = g.take(idx)
+        texts = g[text_col].to_numpy(zero_copy_only=False)
+        starts = np.flatnonzero(np.r_[True, texts[1:] != texts[:-1]])
+        counts = np.diff(np.r_[starts, len(texts)])
+        keep = g.take(pa.array(starts)).drop_columns(["_h"])
+        return keep.append_column("dupes", pa.array(counts, pa.int64()))
 
     return ds.groupby("_h").map_groups(first, batch_format="pyarrow")
 

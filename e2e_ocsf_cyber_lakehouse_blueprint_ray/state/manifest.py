@@ -213,6 +213,19 @@ def read_snapshot(table_dir: str, snapshot_id: int) -> tuple[pa.Table, dict]:
     return t.replace_schema_metadata(None), meta
 
 
+def snapshot_extra(table_dir: str, snapshot_id: int) -> dict[str, str]:
+    """``engine.x.*`` metadata of one snapshot — footer-only read (no data
+    pages), so scanning the retained snapshot set for e.g. consumed-ingest
+    records is cheap."""
+    sch = pq.read_schema(snap_path(table_dir, snapshot_id))
+    raw = sch.metadata or {}
+    out = {}
+    for k, v in raw.items():
+        if k.startswith(b"engine.x."):
+            out[k.decode()[len("engine.x."):]] = v.decode()
+    return out
+
+
 def list_snapshot_ids(table_dir: str) -> list[int]:
     d = _mdir(table_dir)
     if not os.path.isdir(d):
@@ -236,9 +249,23 @@ def current_id(table_dir: str) -> int | None:
 
 
 def set_current(table_dir: str, snapshot_id: int) -> None:
-    """Atomic, monotonic pointer swap (never moves backwards)."""
+    """Atomic, monotonic pointer swap (never moves backwards).
+
+    The read-check-replace sequence is serialized with an ``flock`` on a
+    sidecar lock file: without it, writer A (snap N) could ``os.replace`` the
+    pointer back OVER writer B's already-published snap N+1 between A's read
+    and A's replace — B's durable commit would become invisible and every
+    later commit would collide on the N+1 id forever. With the lock, the
+    check ``cur >= snapshot_id`` and the replace are one critical section.
+    (Multi-node deployments route commits through the metastore actor, which
+    serializes them; this lock covers same-host multi-process committers.)
+    """
+    import fcntl
+
+    os.makedirs(_mdir(table_dir), exist_ok=True)
     p = os.path.join(_mdir(table_dir), "CURRENT")
-    while True:
+    with open(p + ".lock", "w") as lf:
+        fcntl.flock(lf, fcntl.LOCK_EX)
         cur = current_id(table_dir)
         if cur is not None and cur >= snapshot_id:
             return
@@ -248,5 +275,3 @@ def set_current(table_dir: str, snapshot_id: int) -> None:
             f.flush()
             os.fsync(f.fileno())
         os.replace(tmp, p)
-        if (current_id(table_dir) or -1) >= snapshot_id:
-            return

@@ -35,6 +35,7 @@ class Metastore:
         operation: str,
         expected_parent: int | None = None,
         evolve_schema_ser: bytes | None = None,
+        extra: dict | None = None,
     ) -> int:
         import pyarrow as pa
 
@@ -53,6 +54,7 @@ class Metastore:
             operation=operation,
             expected_parent=expected_parent,
             evolve_schema=evolve,
+            extra=extra,
         )
 
     def current(self) -> int | None:

@@ -241,14 +241,20 @@ class Table:
         """Driver-side append of an in-memory table, split into partition
         dirs and (optionally many small) files. Used by fixtures/ingest of
         small tables; large appends use ``append_dataset``."""
+        import uuid
+
         rpf = rows_per_file or self.config.max_rows_per_file
+        # per-call uuid in every file name (like append_dataset): two
+        # concurrent appenders with the same prefix must never overwrite each
+        # other's data files — commit() also rejects duplicate paths.
+        wid = uuid.uuid4().hex[:10]
         entries = []
         seq = 0
         for part, chunk in self.split_by_partition(data).items():
             for off in range(0, chunk.num_rows, rpf):
                 sl = chunk.slice(off, rpf)
                 entries.append(
-                    self.write_file(sl, part, f"{name_prefix}-{seq:05d}.parquet")
+                    self.write_file(sl, part, f"{name_prefix}-{wid}-{seq:05d}.parquet")
                 )
                 seq += 1
         added = pa.Table.from_pylist(entries, schema=manifest.ENTRY_SCHEMA) if entries else None
@@ -263,6 +269,7 @@ class Table:
         sort_within_file: list[str] | None = None,
         name_prefix: str = "a",
         evolve_schema: pa.Schema | None = None,
+        extra: dict | None = None,
     ) -> int:
         """Append a Ray Dataset: an actor-pool writer stage routes each
         batch's rows to partition dirs and writes Parquet files (one writer
@@ -309,6 +316,7 @@ class Table:
             operation=operation,
             use_actor=use_actor,
             evolve_schema=evolve_schema,
+            extra=extra,
         )
 
     def rollback(self, snapshot_id: int, *, use_actor: bool = False) -> int:
@@ -349,10 +357,13 @@ class Table:
         use_actor: bool = False,
         job_id: str | None = None,
         evolve_schema: pa.Schema | None = None,
+        extra: dict | None = None,
     ) -> int:
         """Commit a new snapshot. ``use_actor=True`` routes through the
         table's metastore actor (multi-writer serialization); otherwise the
-        file-based optimistic protocol runs locally."""
+        file-based optimistic protocol runs locally. ``extra`` key/values are
+        persisted in the snapshot metadata ATOMICALLY with the commit — used
+        e.g. to record consumed ingest files exactly-once (sources/jsonl.py)."""
         if use_actor:
             import ray
 
@@ -370,6 +381,7 @@ class Table:
                         if evolve_schema is not None
                         else None
                     ),
+                    extra=extra,
                 )
             )
         else:
@@ -379,6 +391,7 @@ class Table:
                 operation=operation,
                 expected_parent=expected_parent,
                 evolve_schema=evolve_schema,
+                extra=extra,
             )
         if job_id is not None:
             lineage.finalize_job(self.dir, job_id, sid)
@@ -392,10 +405,24 @@ class Table:
         operation: str,
         expected_parent: int | None = None,
         evolve_schema: pa.Schema | None = None,
+        extra: dict | None = None,
     ) -> int:
         removed_set = set(removed)
-        for _ in range(50):
+        if added is not None and added.num_rows:
+            added_paths = added["path"].to_pylist()
+            if len(set(added_paths)) != len(added_paths):
+                raise ConflictError(f"{operation}: duplicate paths in added entries")
+        for attempt in range(50):
+            # Parent = max(pointer, newest snapshot file): a snapshot file can
+            # exist AHEAD of the CURRENT pointer (committer crashed between
+            # try_write_snapshot and set_current, or a pointer update was
+            # lost) — it is durable and valid, so build on it and self-heal
+            # the pointer rather than colliding on its id forever.
             cur = self.current_snapshot_id()
+            ids = manifest.list_snapshot_ids(self.dir)
+            if ids and ids[-1] > cur:
+                cur = ids[-1]
+                manifest.set_current(self.dir, cur)
             ents, meta = self.snapshot(cur)
             if expected_parent is not None and cur != expected_parent and removed_set:
                 live = set(ents["path"].to_pylist())
@@ -411,6 +438,13 @@ class Table:
                 keep = pa.array([p not in removed_set for p in live_paths])
                 ents = ents.filter(keep)
             if added is not None and added.num_rows:
+                live_after = set(live_paths) - removed_set
+                clash = [p for p in added["path"].to_pylist() if p in live_after]
+                if clash:
+                    raise ConflictError(
+                        f"{operation}: added paths already live (concurrent "
+                        f"writers must use distinct file names): {clash[:3]}"
+                    )
                 ents = pa.concat_tables([ents, added.cast(manifest.ENTRY_SCHEMA)])
             nid = cur + 1
             schema = meta["schema"]
@@ -419,6 +453,9 @@ class Table:
                 # gold_ocsf_iam_event_classes_delta_sinks.py:94-113): union the
                 # table schema with the writer's schema at commit time.
                 schema = pa.unify_schemas([schema, evolve_schema]) if schema else evolve_schema
+            snap_extra = {"stats_cols": meta.get("engine.x.stats_cols", "[]")}
+            if extra:
+                snap_extra.update(extra)
             ok = manifest.try_write_snapshot(
                 self.dir,
                 nid,
@@ -427,10 +464,13 @@ class Table:
                 operation=operation,
                 schema=schema,
                 partition_spec=meta["partition_spec"],
-                extra={"stats_cols": meta.get("engine.x.stats_cols", "[]")},
+                extra=snap_extra,
             )
             if ok:
                 manifest.set_current(self.dir, nid)
                 return nid
-            # lost the id race: re-read and retry
+            # lost the id race: publish the winner's pointer if it hasn't yet
+            # (self-heal), back off a little, re-read and retry
+            manifest.set_current(self.dir, nid)
+            time.sleep(min(0.25, 0.002 * (attempt + 1)))
         raise ConflictError(f"{operation}: gave up after 50 commit attempts")
