@@ -64,7 +64,16 @@ MERGE_CTE = TRANSCRIPT_CTE + """
 
 def transcripts_from_events(sf_dir: str):
     """events parquet → transcript Dataset (lazy; one groupby shuffle for
-    the per-conversation turn numbering)."""
+    the per-conversation turn numbering).
+
+    Skew note: the group key is ``user_id`` and turn numbering (rank of
+    event_id within the conversation) requires the whole group — it cannot
+    be salted without a second prefix-offset pass. That is safe HERE because
+    the events table bounds per-user cardinality (uniform user assignment,
+    ≤ a few hundred events/user at any sf); the transcript-table operators
+    downstream, where hot conv_ids are unbounded by design, all go through
+    ``stages.repartition.salted_map_shards`` / salted partitioning instead.
+    """
     import ray.data as rd
 
     ds = rd.read_parquet(
@@ -143,7 +152,13 @@ def build_maintenance_table(
     sf_dir: str, work_dir: str, config: EngineConfig, *, rows_per_file: int = 500
 ) -> Table:
     """Materialize the derived transcripts as a fresh snapshot-log table with
-    MANY SMALL FILES (so compaction has real work)."""
+    MANY SMALL FILES (so compaction has real work). Streams through the
+    actor-pool ``append_dataset`` writer — the transcript rows never
+    materialize on the driver; only manifest entries come back. Each write
+    batch of ``rows_per_file × P`` rows yields ~one small file per touched
+    partition dir."""
+    import dataclasses
+
     ds = transcripts_from_events(sf_dir)
     t = Table.create(
         work_dir,
@@ -152,8 +167,8 @@ def build_maintenance_table(
         config=config,
         stats_cols=TRANSCRIPT_STATS_COLS,
     )
-    base = pa.Table.from_pylist(ds.take_all(), schema=TRANSCRIPT)
-    t.write_table(base, rows_per_file=rows_per_file)
+    write_conf = dataclasses.replace(config, batch_size=rows_per_file * config.num_partitions)
+    Table(work_dir, write_conf).append_dataset(ds, operation="ingest")
     return t
 
 

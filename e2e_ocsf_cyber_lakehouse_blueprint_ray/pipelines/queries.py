@@ -395,7 +395,13 @@ def q_events_gold_route(sf_dir: str):
 
 
 def q_orders_top_per_customer(sf_dir: str):
-    """Window-rank analog: best order per customer via groupby.map_groups."""
+    """Window-rank analog: best order per customer.
+
+    Skew-proof shape: top-1 is combiner-friendly, so each batch first
+    reduces to ≤1 row per customer IN the batch (per-batch partial), and the
+    groupby shuffle then moves at most (customers × blocks) single rows —
+    a hot customer with millions of orders contributes one row per block,
+    never one giant group."""
     ds = _read(sf_dir, "orders", ["o_custkey", "o_orderkey", "o_totalprice"])
 
     def best(g: pa.Table) -> pa.Table:
@@ -404,27 +410,97 @@ def q_orders_top_per_customer(sf_dir: str):
         )
         return g.take(idx.slice(0, 1))
 
-    return ds.groupby("o_custkey").map_groups(best, batch_format="pyarrow")
+    def partial_best(b: pa.Table) -> pa.Table:
+        # deterministic per-batch winner per customer: sort by the final
+        # ranking key, then keep the first row of each customer run
+        idx = pc.sort_indices(
+            b,
+            sort_keys=[
+                ("o_custkey", "ascending"),
+                ("o_totalprice", "descending"),
+                ("o_orderkey", "ascending"),
+            ],
+        )
+        b = b.take(idx)
+        ck = b["o_custkey"].to_numpy(zero_copy_only=False)
+        starts = np.flatnonzero(np.r_[True, ck[1:] != ck[:-1]])
+        return b.take(pa.array(starts))
+
+    partials = ds.map_batches(partial_best, batch_format="pyarrow", batch_size=CONF.batch_size)
+    return partials.groupby("o_custkey").map_groups(best, batch_format="pyarrow")
 
 
 def q_events_sessionize(sf_dir: str):
-    """Session windows (gap > 1800 s) per user via sorted map_groups."""
+    """Session windows (gap > 1800 s) per user — sort + segment-merge,
+    skew-proof and vectorized.
+
+    A session break only depends on CONSECUTIVE event pairs, so any split of
+    a user's ordered timeline into contiguous segments is mergeable from
+    (n, min_ts, max_ts, internal_breaks) summaries. Shape:
+
+    stage 1  global ``sort(user_id, ts, event_id)`` — Ray's range shuffle
+             balances blocks by ROWS, so a hot user spans several blocks
+             instead of pinning one reducer; then one VECTORIZED pass per
+             sorted block emits per-(user-run) segment summaries (numpy run
+             boundaries + cumsum, no per-group Python).
+    stage 2  ``groupby(user)`` over segments (≤ blocks-spanned rows per
+             user): order by min_ts, add boundary gaps between segments.
+    """
     ds = _read(sf_dir, "events", ["user_id", "event_id", "ts"])
 
-    def sess(g: pa.Table) -> pa.Table:
-        idx = pc.sort_indices(g, sort_keys=[("ts", "ascending"), ("event_id", "ascending")])
-        ts = g.take(idx)["ts"].cast(pa.int64()).to_numpy(zero_copy_only=False)
-        gaps = np.diff(ts) / 1_000_000.0
-        n_sessions = 1 + int((gaps > 1800.0).sum()) if len(ts) else 0
+    def segment_summaries(b: pa.Table) -> pa.Table:
+        # one batch == one sorted block (batch_size=None): a contiguous
+        # range of the global (user_id, ts, event_id) order — required for
+        # segment contiguity
+        if b.num_rows == 0:
+            return pa.table(
+                {
+                    "user_id": pa.array([], pa.int64()),
+                    "n": pa.array([], pa.int64()),
+                    "min_ts": pa.array([], pa.int64()),
+                    "max_ts": pa.array([], pa.int64()),
+                    "breaks": pa.array([], pa.int64()),
+                }
+            )
+        uid = b["user_id"].to_numpy(zero_copy_only=False)
+        ts = b["ts"].cast(pa.int64()).to_numpy(zero_copy_only=False)
+        starts = np.flatnonzero(np.r_[True, uid[1:] != uid[:-1]])
+        ends = np.r_[starts[1:], len(uid)]
+        brk = (np.diff(ts) / 1_000_000.0) > 1800.0
+        if len(starts) > 1:
+            brk[starts[1:] - 1] = False  # cross-user gaps are not breaks
+        cs = np.r_[0, np.cumsum(brk)]
         return pa.table(
             {
-                "user_id": pa.array([g["user_id"][0].as_py()], pa.int64()),
-                "n_events": pa.array([g.num_rows], pa.int64()),
-                "n_sessions": pa.array([n_sessions], pa.int64()),
+                "user_id": pa.array(uid[starts].astype(np.int64)),
+                "n": pa.array((ends - starts).astype(np.int64)),
+                "min_ts": pa.array(ts[starts]),
+                "max_ts": pa.array(ts[ends - 1]),
+                "breaks": pa.array(cs[ends - 1] - cs[starts]),
             }
         )
 
-    return ds.groupby("user_id").map_groups(sess, batch_format="pyarrow")
+    segs = ds.sort(["user_id", "ts", "event_id"]).map_batches(
+        segment_summaries, batch_format="pyarrow", batch_size=None
+    )
+
+    def combine(g: pa.Table) -> pa.Table:
+        idx = pc.sort_indices(g, sort_keys=[("min_ts", "ascending")])
+        g = g.take(idx)
+        n = int(pc.sum(g["n"]).as_py())
+        breaks = int(pc.sum(g["breaks"]).as_py())
+        mins = g["min_ts"].to_numpy(zero_copy_only=False)
+        maxs = g["max_ts"].to_numpy(zero_copy_only=False)
+        breaks += int((((mins[1:] - maxs[:-1]) / 1_000_000.0) > 1800.0).sum())
+        return pa.table(
+            {
+                "user_id": pa.array([g["user_id"][0].as_py()], pa.int64()),
+                "n_events": pa.array([n], pa.int64()),
+                "n_sessions": pa.array([1 + breaks if n else 0], pa.int64()),
+            }
+        )
+
+    return segs.groupby("user_id").map_groups(combine, batch_format="pyarrow")
 
 
 # ---------------------------------------------------------------------------
@@ -514,8 +590,9 @@ def q_conv_stats(sf_dir: str):
                 "conv_id": b["conv_id"],
                 "n_turns": pa.array(np.ones(b.num_rows, dtype=np.int64)),
                 "n_tool_turns": pc.cast(is_tool, pa.int64()),
-                "first_ts": b["ts"],
-                "last_ts": b["ts"],
+                # int64 µs so the distributed min/max runs on plain ints
+                "first_ts": b["ts"].cast(pa.int64()),
+                "last_ts": b["ts"].cast(pa.int64()),
             }
         )
         return t.group_by(["conv_id"]).aggregate(
@@ -523,21 +600,30 @@ def q_conv_stats(sf_dir: str):
         )
 
     partials_ds = ds.map_batches(partial, batch_format="pyarrow", batch_size=CONF.batch_size)
-    # partials are ~one row per (conv, batch) — the final combine is a small
-    # result and runs as one in-memory group_by
-    partials = pa.Table.from_pylist(partials_ds.take_all())
-    final = partials.group_by(["conv_id"]).aggregate(
-        [
-            ("n_turns_sum", "sum"),
-            ("n_tool_turns_sum", "sum"),
-            ("first_ts_min", "min"),
-            ("last_ts_max", "max"),
-        ]
+    # final combine is DISTRIBUTED (one row per (conv, batch) partial is not
+    # driver-small at real conv cardinality): shuffle the narrow partials by
+    # conv_id and reduce per group
+    from ray.data.aggregate import Max, Min, Sum
+
+    agg = partials_ds.groupby("conv_id").aggregate(
+        Sum("n_turns_sum"),
+        Sum("n_tool_turns_sum"),
+        Min("first_ts_min"),
+        Max("last_ts_max"),
     )
-    final = final.select(
-        ["conv_id", "n_turns_sum_sum", "n_tool_turns_sum_sum", "first_ts_min_min", "last_ts_max_max"]
-    )
-    return final.rename_columns(["conv_id", "n_turns", "n_tool_turns", "first_ts", "last_ts"])
+
+    def rename(b: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "conv_id": b["conv_id"],
+                "n_turns": b["sum(n_turns_sum)"],
+                "n_tool_turns": b["sum(n_tool_turns_sum)"],
+                "first_ts": b["min(first_ts_min)"].cast(pa.timestamp("us")),
+                "last_ts": b["max(last_ts_max)"].cast(pa.timestamp("us")),
+            }
+        )
+
+    return agg.map_batches(rename, batch_format="pyarrow")
 
 
 def q_maint_optimize_scan(sf_dir: str):
@@ -658,13 +744,11 @@ def q_ann_ivf(sf_dir: str):
 
 
 def q_embedding_near_dup(sf_dir: str):
-    t = _pq(sf_dir, "embeddings")
-    ids = t["vec_id"].to_numpy(zero_copy_only=False).astype(np.int64)
-    mat = np.asarray(t["embedding"].to_pylist(), dtype=np.float64)
-    import ray.data as rd
-
-    out = dedup_mod.embedding_near_dup_pairs(rd.from_arrow(t), mat, ids, threshold=0.95, config=CONF)
+    out = dedup_mod.embedding_near_dup_pairs(
+        _read(sf_dir, "embeddings", ["vec_id", "embedding"]), threshold=0.95, config=CONF
+    )
     rows = out.take_all()  # tiny pair list; keep an explicit schema when empty
+    rows.sort(key=lambda r: (r["a"], r["b"]))
     return pa.table(
         {
             "a": pa.array([r["a"] for r in rows], pa.int64()),
@@ -748,12 +832,8 @@ def q_medallion_gold(sf_dir: str):
 
 
 def q_dedup_minhash(sf_dir: str):
-    docs = _pq(sf_dir, "documents", ["doc_id", "text"])
-    lookup = dict(zip(docs["doc_id"].to_pylist(), docs["text"].to_pylist()))
-    import ray.data as rd
-
     return dedup_mod.minhash_duplicate_pairs(
-        rd.from_arrow(docs), threshold=0.5, text_lookup=lookup, config=CONF
+        _read(sf_dir, "documents", ["doc_id", "text"]), threshold=0.5, config=CONF
     )
 
 

@@ -9,17 +9,17 @@ Scale shapes (the point of each design):
 - **minhash-lsh**: per-batch shingle→signature (numpy, one matmul-free
   min-reduce per permutation), explode to (band, band_hash, doc_id) rows —
   a narrow table — and ``groupby(band, band_hash)`` so only colliding docs
-  meet. Candidate verification re-reads only candidate texts via a
-  broadcast lookup (small at test scale; at 100 TB this verify step becomes
-  a hash-join of the candidate-id list against the corpus, still narrow).
+  meet. Verification is a second distributed pass: broadcast the (small)
+  candidate-pair index, emit per-candidate shingle sets, join per pair via
+  ``groupby(pair_id)`` — no whole-corpus driver structure at any point.
 - **simhash**: 64-bit signature per doc; band the 64 bits into 4×16-bit
   keys → groupby → verify Hamming distance ≤ k (catches all pairs with
   ≤3-bit difference by pigeonhole when k ≤ 3).
 - **ngram-jaccard**: exact pairwise Jaccard within small candidate groups
   (here: per ``source`` group; in production: within LSH buckets only).
-- **embedding near-dup**: normalized matmul of each batch against a
-  broadcast (ray.put once) normalized corpus matrix — O(n·d) per row with
-  BLAS, no shuffle.
+- **embedding near-dup**: coarse-quantizer (k-means) multi-probe bucketing
+  → per-bucket O(m²) matmul; only centroids are broadcast, comparisons stay
+  within buckets — never an all-pairs pass or a corpus broadcast.
 """
 
 from __future__ import annotations
@@ -161,19 +161,35 @@ def minhash_duplicate_pairs(
     num_perm: int = 64,
     bands: int = 16,
     shingle_k: int = 3,
-    text_lookup: dict[int, str] | None = None,
+    verify: bool = True,
+    text_col: str = "text",
+    id_col: str = "doc_id",
     config: EngineConfig = DEFAULT,
 ):
     """MinHash-LSH near-dup pipeline → Dataset of (a, b, jaccard) pairs.
 
-    ``text_lookup`` (id → text) is broadcast for the verify step; pass None
-    to skip exact verification (signature-level candidates only). Candidate
-    generation is fully distributed; per-bucket pair expansion happens in
-    ``map_groups`` where buckets are small by construction.
+    Three fully-distributed stages — NO whole-corpus driver structure:
+
+    1. signatures → banded (band, band_hash, doc_id) rows (actor pool).
+    2. candidate pairs: ``groupby(band, band_hash)`` pair expansion in
+       buckets that are small by construction; distinct via a pair groupby.
+    3. exact verification WITHOUT shipping texts: only the candidate-pair
+       list (the LSH output — orders of magnitude smaller than the corpus)
+       is broadcast as an id→pairs index; a second streaming pass over the
+       corpus computes each candidate document's shingle-hash set ONCE,
+       in place, and emits (pair_id, shingles:list<int64>) rows; a
+       ``groupby(pair_id)`` joins the two shingle sets and computes exact
+       Jaccard. Texts never leave their batch; shuffle volume is bounded by
+       candidates × shingles, not corpus size.
+
+    ``verify=False`` returns signature-level candidates (jaccard = -1).
     """
     import ray
 
-    hasher_kw = dict(num_perm=num_perm, bands=bands, shingle_k=shingle_k)
+    hasher_kw = dict(
+        num_perm=num_perm, bands=bands, shingle_k=shingle_k,
+        text_col=text_col, id_col=id_col,
+    )
     sig_ds = ds.map_batches(
         MinHasher,
         fn_constructor_kwargs=hasher_kw,
@@ -181,36 +197,75 @@ def minhash_duplicate_pairs(
         batch_size=config.batch_size,
         concurrency=config.rewrite_concurrency,
     )
-    lookup_ref = ray.put(text_lookup)
-    k = shingle_k
-    thr = threshold
 
     def bucket_pairs(g: pa.Table) -> pa.Table:
         ids = sorted(set(g["doc_id"].to_pylist()))
-        if len(ids) < 2:
-            return pa.table({"a": pa.array([], pa.int64()), "b": pa.array([], pa.int64()),
-                             "jaccard": pa.array([], pa.float64())})
-        lookup = ray.get(lookup_ref)
-        out_a, out_b, out_j = [], [], []
+        out_a, out_b = [], []
         for x, y in itertools.combinations(ids, 2):
-            if lookup is not None:
-                j = jaccard(_word_shingles(lookup[x].split(), k), _word_shingles(lookup[y].split(), k))
-                if j < thr:
-                    continue
-            else:
-                j = -1.0
             out_a.append(x)
             out_b.append(y)
-            out_j.append(j)
-        return pa.table({"a": pa.array(out_a, pa.int64()), "b": pa.array(out_b, pa.int64()),
-                         "jaccard": pa.array(out_j, pa.float64())})
+        return pa.table({"a": pa.array(out_a, pa.int64()), "b": pa.array(out_b, pa.int64())})
 
-    pairs = sig_ds.groupby(["band", "band_hash"]).map_groups(bucket_pairs, batch_format="pyarrow")
+    cand = sig_ds.groupby(["band", "band_hash"]).map_groups(bucket_pairs, batch_format="pyarrow")
+    cand = cand.groupby(["a", "b"]).map_groups(lambda g: g.slice(0, 1), batch_format="pyarrow")
 
-    def dedup_pairs(g: pa.Table) -> pa.Table:
-        return g.slice(0, 1)
+    if not verify:
+        def tag(b: pa.Table) -> pa.Table:
+            return b.append_column("jaccard", pa.array([-1.0] * b.num_rows, pa.float64()))
 
-    return pairs.groupby(["a", "b"]).map_groups(dedup_pairs, batch_format="pyarrow")
+        return cand.map_batches(tag, batch_format="pyarrow")
+
+    # -- stage 3: distributed verify ---------------------------------------
+    pair_rows = cand.take_all()  # candidate pairs only — small by design
+    doc_pairs: dict[int, list[int]] = {}
+    for pid, r in enumerate(pair_rows):
+        doc_pairs.setdefault(int(r["a"]), []).append(pid)
+        doc_pairs.setdefault(int(r["b"]), []).append(pid)
+    idx_ref = ray.put(doc_pairs)
+    k, thr = shingle_k, threshold
+    n_pairs = len(pair_rows)
+    pair_ab = [(int(r["a"]), int(r["b"])) for r in pair_rows]
+
+    def emit_shingles(batch: pa.Table) -> pa.Table:
+        index = ray.get(idx_ref)
+        out_pid, out_sh = [], []
+        for i, t in zip(batch[id_col].to_pylist(), batch[text_col].to_pylist()):
+            pids = index.get(int(i))
+            if not pids:
+                continue
+            sh = np.fromiter(
+                _word_shingles((t or "").split(), k), dtype=np.uint64
+            ).view(np.int64).tolist()
+            for pid in pids:
+                out_pid.append(pid)
+                out_sh.append(sh)
+        return pa.table(
+            {
+                "pair_id": pa.array(out_pid, pa.int64()),
+                "sh": pa.array(out_sh, pa.list_(pa.int64())),
+            }
+        )
+
+    sh_ds = ds.map_batches(emit_shingles, batch_format="pyarrow", batch_size=config.batch_size)
+
+    def verify_pair(g: pa.Table) -> pa.Table:
+        empty = pa.table({"a": pa.array([], pa.int64()), "b": pa.array([], pa.int64()),
+                          "jaccard": pa.array([], pa.float64())})
+        if g.num_rows != 2:
+            return empty
+        s0 = set(g["sh"][0].as_py())
+        s1 = set(g["sh"][1].as_py())
+        j = jaccard(s0, s1)
+        if j < thr:
+            return empty
+        pid = int(g["pair_id"][0].as_py())
+        if pid >= n_pairs:
+            return empty
+        a, b = pair_ab[pid]
+        return pa.table({"a": pa.array([a], pa.int64()), "b": pa.array([b], pa.int64()),
+                         "jaccard": pa.array([j], pa.float64())})
+
+    return sh_ds.groupby("pair_id").map_groups(verify_pair, batch_format="pyarrow")
 
 
 # -- simhash -----------------------------------------------------------------
@@ -317,38 +372,77 @@ def ngram_jaccard_pairs(ds, *, group_col: str = "source", threshold: float = 0.5
 # -- embedding cosine near-dup ----------------------------------------------
 
 
-def embedding_near_dup_pairs(ds, corpus: np.ndarray, ids: np.ndarray, *, threshold: float = 0.95,
+def embedding_near_dup_pairs(ds, *, threshold: float = 0.95, n_clusters: int = 8,
+                             probes: int = 2, sample_rows: int = 4096,
                              id_col: str = "vec_id", vec_col: str = "embedding",
                              config: EngineConfig = DEFAULT):
-    """Pairs (a, b) with cosine ≥ threshold: per-batch float64 matmul against
-    the broadcast normalized corpus (ray.put once, fetched once per task)."""
-    import ray
+    """Pairs (a, b) with cosine ≥ threshold — coarse-quantizer-bucketed, no
+    full-corpus broadcast.
 
-    corpus = corpus.astype(np.float64)
-    norms = np.linalg.norm(corpus, axis=1, keepdims=True)
-    corpus_n = corpus / np.maximum(norms, 1e-12)
-    ref = ray.put((corpus_n, ids.astype(np.int64)))
+    1. fit a small k-means coarse quantizer on a driver-side SAMPLE (the
+       only driver-materialized data; ``sample_rows`` rows, not the corpus);
+       broadcast the (C, d) centroids — a few KB.
+    2. multi-probe bucket explode: each vector is emitted into its
+       ``probes`` nearest-centroid buckets, so two near-identical vectors
+       that straddle a Voronoi boundary still share a bucket (cos ≥ 0.95
+       pairs sit within each other's top-probe sets for any reasonable
+       quantizer — exact on such inputs, approximate in the adversarial
+       tail, same contract as MinHash-LSH blocking).
+    3. ``groupby(bucket)`` → per-bucket O(m²) matmul where m ≪ N; emit each
+       unordered pair once (deduped across buckets by a final groupby).
+
+    Shuffle volume: ``probes`` × (id + d floats) per row — linear in corpus,
+    independent of pair count; the all-pairs O(N²) comparison never happens.
+    """
+    from .similarity import kmeans_fit
+
+    sample = np.asarray(
+        [r[vec_col] for r in ds.limit(sample_rows).take_all()], dtype=np.float64
+    )
+    cent = kmeans_fit(sample, n_clusters)
+    p = min(probes, len(cent))
     thr = threshold
 
-    def batch_pairs(batch: pa.Table) -> pa.Table:
-        mat_n, all_ids = ray.get(ref)
+    def explode(batch: pa.Table) -> pa.Table:
         v = np.asarray(batch[vec_col].to_pylist(), dtype=np.float64)
         bid = batch[id_col].to_numpy(zero_copy_only=False).astype(np.int64)
         vn = v / np.maximum(np.linalg.norm(v, axis=1, keepdims=True), 1e-12)
-        sims = vn @ mat_n.T  # (b, N)
+        near = np.argsort(-(vn @ cent.T), axis=1)[:, :p]  # (b, p)
+        n, d = vn.shape
+        rep = np.repeat(np.arange(n), p)
+        return pa.table(
+            {
+                "bucket": pa.array(near.reshape(-1).astype(np.int32)),
+                "vec_id": pa.array(bid[rep]),
+                "vn": pa.array(list(vn[rep]), pa.list_(pa.float64())),
+            }
+        )
+
+    ex = ds.map_batches(explode, batch_format="pyarrow", batch_size=config.batch_size)
+
+    def bucket_pairs(g: pa.Table) -> pa.Table:
+        ids = g["vec_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        vn = np.asarray(g["vn"].to_pylist(), dtype=np.float64)
+        # a vector probed into the same bucket twice contributes once
+        uniq, first = np.unique(ids, return_index=True)
+        ids, vn = uniq, vn[first]
         out_a, out_b, out_s = [], [], []
-        for r in range(sims.shape[0]):
-            hit = np.flatnonzero(sims[r] >= thr)
-            for c in hit:
-                a, b = int(bid[r]), int(all_ids[c])
-                if a < b:  # each unordered pair once; also drops self-match
-                    out_a.append(a)
-                    out_b.append(b)
-                    out_s.append(float(sims[r, c]))
+        if len(ids) >= 2:
+            sims = vn @ vn.T
+            r, c = np.nonzero(np.triu(sims >= thr, k=1))
+            for i, j in zip(r, c):
+                a, b = int(ids[i]), int(ids[j])
+                if a > b:
+                    a, b = b, a
+                out_a.append(a)
+                out_b.append(b)
+                out_s.append(float(sims[i, j]))
         return pa.table({"a": pa.array(out_a, pa.int64()), "b": pa.array(out_b, pa.int64()),
                          "cosine": pa.array(out_s, pa.float64())})
 
-    return ds.map_batches(batch_pairs, batch_format="pyarrow", batch_size=config.batch_size)
+    pairs = ex.groupby("bucket").map_groups(bucket_pairs, batch_format="pyarrow")
+    # pairs found in several shared buckets → keep one
+    return pairs.groupby(["a", "b"]).map_groups(lambda g: g.slice(0, 1), batch_format="pyarrow")
 
 
 # -- duplicate clusters (connected components over candidate pairs) ---------

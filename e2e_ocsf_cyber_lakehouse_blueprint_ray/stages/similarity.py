@@ -112,6 +112,18 @@ def kmeans_fit(sample: np.ndarray, n_clusters: int, *, iters: int = 10, seed: in
     return cent
 
 
+def ivf_prune(
+    vn: np.ndarray, bid: np.ndarray, cent: np.ndarray, allowed_by_cluster: np.ndarray
+) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """Assign rows to centroids and DROP every row outside the union of
+    probed clusters BEFORE any query scoring. Returns the surviving
+    (vectors, ids, per-row allowed mask (b', Q)). Split out so tests can
+    assert the scored-row count is strictly below brute force."""
+    assign = np.argmax(vn @ cent.T, axis=1)  # (b,) — the IVF assignment cost
+    keep = allowed_by_cluster[assign].any(axis=1)  # row in ANY query's probes
+    return vn[keep], bid[keep], allowed_by_cluster[assign[keep]]
+
+
 def ivf_topk(
     ds,
     queries: np.ndarray,
@@ -125,28 +137,40 @@ def ivf_topk(
     vec_col: str = "embedding",
     config: EngineConfig = DEFAULT,
 ):
-    """IVF-style ANN: only rows whose centroid is in the query's nprobe
-    nearest centroid set are scored. Approximate (recall < 1)."""
+    """IVF-style ANN: only rows whose centroid is in SOME query's nprobe
+    nearest centroid set are scored — rows outside the probed-cluster union
+    are dropped before the query matmul, so per-row cost is the (b × C)
+    assignment instead of the (b × Q) brute-force scoring (C = #centroids).
+    At full scale, persist the assignment as a table column (cluster the
+    table by it) and the per-batch assignment matmul disappears too: the
+    scan prunes whole files by centroid id. Approximate (recall < 1)."""
     import ray
 
     qn = _normalize(queries)
     cent = _normalize(centroids)
     probe = np.argsort(-(qn @ cent.T), axis=1)[:, :nprobe]  # (Q, nprobe)
-    qref = ray.put((qn, query_ids.astype(np.int64), cent, probe))
+    # (C, Q) bool: cluster c probed by query q — one table lookup per row
+    allowed_by_cluster = np.zeros((len(cent), len(qn)), dtype=bool)
+    for qi in range(len(qn)):
+        allowed_by_cluster[probe[qi], qi] = True
+    qref = ray.put((qn, query_ids.astype(np.int64), cent, allowed_by_cluster))
 
     def local(batch: pa.Table) -> pa.Table:
-        qn_, qids, cent_, probe_ = ray.get(qref)
+        qn_, qids, cent_, allowed_ = ray.get(qref)
         v = np.asarray(batch[vec_col].to_pylist(), dtype=np.float64)
         bid = batch[id_col].to_numpy(zero_copy_only=False).astype(np.int64)
-        vn = _normalize(v)
-        assign = np.argmax(vn @ cent_.T, axis=1)  # (b,)
-        sims = vn @ qn_.T  # (b, Q)
-        # mask out rows not in the query's probed clusters
-        allowed = np.zeros_like(sims, dtype=bool)
-        for qi in range(sims.shape[1]):
-            allowed[:, qi] = np.isin(assign, probe_[qi])
-        sims = np.where(allowed, sims, -2.0)
-        return _topk_rows(sims, bid, qids, k + (1 if exclude_self else 0))
+        vn_s, bid_s, allowed_rows = ivf_prune(_normalize(v), bid, cent_, allowed_)
+        if len(vn_s) == 0:
+            return pa.table(
+                {
+                    "query_id": pa.array([], pa.int64()),
+                    "vec_id": pa.array([], pa.int64()),
+                    "cosine": pa.array([], pa.float64()),
+                }
+            )
+        sims = vn_s @ qn_.T  # (b', Q) — pruned rows only
+        sims = np.where(allowed_rows, sims, -2.0)  # per-query probe mask
+        return _topk_rows(sims, bid_s, qids, k + (1 if exclude_self else 0))
 
     local_ds = ds.map_batches(local, batch_format="pyarrow", batch_size=config.batch_size)
     out = local_ds.groupby("query_id").map_groups(_final_topk(k, exclude_self), batch_format="pyarrow")

@@ -152,13 +152,12 @@ def winnow_fingerprint(
         if len(h) < k:
             grams = np.array([h.astype(np.uint64).sum() % _FP_MOD], dtype=np.uint64)
         else:
-            # vectorized k-gram polynomial hash via cumulative powers
+            # vectorized k-gram polynomial hash (k strided adds over the
+            # whole row, no per-gram loop)
             m = len(h) - k + 1
             grams = np.zeros(m, dtype=np.uint64)
-            acc = np.zeros(len(h) + 1, dtype=np.uint64)
             for i in range(k):
                 grams = (grams * _FP_BASE + h[i : i + m]) % _FP_MOD
-            _ = acc
         if len(grams) >= window:
             idx = np.arange(len(grams) - window + 1)[:, None] + np.arange(window)
             mins = grams[idx].min(axis=1)

@@ -85,12 +85,17 @@ def test_minhash_lsh_finds_planted_near_dupes(ray_session):
     base = pa.table(
         {"doc_id": pa.array([0, 1, 2], pa.int64()), "text": pa.array([t0, t1, t2])}
     )
-    lookup = {0: t0, 1: t1, 2: t2}
     pairs = dedup.minhash_duplicate_pairs(
-        rd.from_arrow(base), threshold=0.7, text_lookup=lookup, config=CONF
+        rd.from_arrow(base), threshold=0.7, config=CONF
     ).take_all()
     assert {(p["a"], p["b"]) for p in pairs} == {(0, 1)}
     assert pairs[0]["jaccard"] > 0.8
+    # candidates-only mode skips verification
+    cand = dedup.minhash_duplicate_pairs(
+        rd.from_arrow(base), threshold=0.7, verify=False, config=CONF
+    ).take_all()
+    assert {(p["a"], p["b"]) for p in cand} >= {(0, 1)}
+    assert all(p["jaccard"] == -1.0 for p in cand)
     _ = words
 
 
@@ -127,9 +132,9 @@ def test_embedding_near_dup_and_topk_match_bruteforce(emb, ray_session):
 
     t, mat, ids = emb
     ds = rd.from_arrow(t)
-    # near-dup pairs vs numpy oracle
+    # near-dup pairs (bucketed coarse-quantizer path) vs numpy oracle
     thr = 0.95
-    got = dedup.embedding_near_dup_pairs(ds, mat, ids, threshold=thr, config=CONF).take_all()
+    got = dedup.embedding_near_dup_pairs(ds, threshold=thr, config=CONF).take_all()
     n = mat / np.maximum(np.linalg.norm(mat, axis=1, keepdims=True), 1e-12)
     sims = n @ n.T
     exp = {
@@ -170,6 +175,29 @@ def test_ivf_topk_recall(emb, ray_session):
     ex = {(r["query_id"], r["vec_id"]) for r in exact}
     ap = {(r["query_id"], r["vec_id"]) for r in approx}
     assert len(ap & ex) / len(ex) >= 0.5  # recall with half the probes
+
+
+def test_ivf_actually_prunes(emb):
+    """The IVF stage must SKIP the query matmul for rows outside the probed
+    clusters — scored-row count strictly below brute force, not a masked
+    full matmul."""
+    t, mat, ids = emb
+    n = mat / np.maximum(np.linalg.norm(mat, axis=1, keepdims=True), 1e-12)
+    cent = similarity.kmeans_fit(mat, 8)
+    cn = cent / np.maximum(np.linalg.norm(cent, axis=1, keepdims=True), 1e-12)
+    qn = n[:3]
+    nprobe = 2
+    probe = np.argsort(-(qn @ cn.T), axis=1)[:, :nprobe]
+    allowed = np.zeros((len(cn), len(qn)), dtype=bool)
+    for qi in range(len(qn)):
+        allowed[probe[qi], qi] = True
+    vn_s, bid_s, allowed_rows = similarity.ivf_prune(n, ids, cn, allowed)
+    assert 0 < len(vn_s) < len(n)  # rows were dropped BEFORE scoring
+    # survivors are exactly the rows assigned to some probed cluster
+    assign = np.argmax(n @ cn.T, axis=1)
+    keep = allowed[assign].any(axis=1)
+    assert np.array_equal(bid_s, ids[keep])
+    assert allowed_rows.shape == (int(keep.sum()), len(qn))
 
 
 def test_multimodal_plumbing(docs_ds, ray_session):
