@@ -99,9 +99,11 @@ class VariantExtractor:
     parse. Compile once (per actor / per pipeline build), call per batch.
     """
 
-    def __init__(self, fields: list[tuple[str, str, str]]):
-        """fields: [(out_name, '$.json.path', 'TYPE'), ...]"""
-        self.fields = [(n, parse_path(p), t) for n, p, t in fields]
+    def __init__(self, fields: list[tuple[str, str | None, str]]):
+        """fields: [(out_name, '$.json.path', 'TYPE'), ...]; path None ⇒
+        typed NULL column (``CAST(NULL AS T)`` select-list entries, e.g.
+        silver_atlassian_audit_logs.py:78 container_type)."""
+        self.fields = [(n, parse_path(p) if p is not None else None, t) for n, p, t in fields]
 
     def __call__(self, data: pa.Array | pa.ChunkedArray) -> dict[str, pa.Array]:
         docs = []
@@ -115,6 +117,9 @@ class VariantExtractor:
                 docs.append(None)
         out = {}
         for name, steps, typ in self.fields:
+            if steps is None:
+                out[name] = pa.nulls(len(docs), _TYPE_MAP[typ])
+                continue
             vals = [_coerce(_walk(d, steps), typ) for d in docs]
             out[name] = pa.array(vals, type=_TYPE_MAP[typ])
         return out
@@ -298,6 +303,43 @@ def string_array_literal(values: list[str], n: int) -> pa.ListArray:
     k = len(values)
     offsets = pa.array(np.arange(0, (n + 1) * k, k, dtype=np.int32))
     return pa.ListArray.from_arrays(offsets, flat)
+
+
+def single_item_list(arr: pa.Array, mask: pa.Array | None = None) -> pa.ListArray:
+    """``array(x)`` per row — optionally ``CASE WHEN m THEN array(x) ELSE
+    CAST(NULL AS ARRAY<T>) END`` via ``mask`` (gold_github_audit_logs.py:217
+    privileges)."""
+    arr = arr.combine_chunks() if isinstance(arr, pa.ChunkedArray) else arr
+    n = len(arr)
+    if mask is not None:
+        # null rows must have ZERO-length spans (Parquet rejects lists with
+        # non-zero-length null components)
+        m = pc.fill_null(mask, False).to_numpy(zero_copy_only=False)
+        offsets = pa.array(np.r_[0, np.cumsum(m.astype(np.int32))].astype(np.int32))
+        return pa.ListArray.from_arrays(offsets, arr.filter(pa.array(m)), mask=pa.array(~m))
+    return pa.ListArray.from_arrays(pa.array(np.arange(n + 1, dtype=np.int32)), arr)
+
+
+def pair_list(a: pa.Array, b: pa.Array, mask: pa.Array | None = None) -> pa.ListArray:
+    """``array(x, y)`` per row with optional row validity — the coordinates
+    builder (gold_atlassian_audit_logs.py:167)."""
+    a = a.combine_chunks() if isinstance(a, pa.ChunkedArray) else a
+    b = b.combine_chunks() if isinstance(b, pa.ChunkedArray) else b
+    n = len(a)
+    idx = np.arange(2 * n)
+    flat = pa.concat_arrays([a, b]).take(pa.array((idx % 2) * n + idx // 2))
+    if mask is not None:
+        # zero-length spans for null rows (Parquet-writable layout)
+        m = pc.fill_null(mask, False).to_numpy(zero_copy_only=False)
+        offsets = pa.array(np.r_[0, np.cumsum(2 * m.astype(np.int32))].astype(np.int32))
+        keep = pa.array(np.repeat(m, 2))
+        return pa.ListArray.from_arrays(offsets, flat.filter(keep), mask=pa.array(~m))
+    return pa.ListArray.from_arrays(pa.array(np.arange(0, 2 * (n + 1), 2, dtype=np.int32)), flat)
+
+
+def null_map(n: int) -> pa.Array:
+    """``CAST(NULL AS MAP<STRING, STRING>)`` (gold_github_audit_logs.py:94)."""
+    return pa.nulls(n, pa.map_(pa.string(), pa.string()))
 
 
 def map_literal(kv: dict[str, pa.Array | str], n: int) -> pa.MapArray:

@@ -42,15 +42,17 @@ SILVER_FIELDS: dict[str, list[tuple[str, str, str]]] = {
         ("visibility", "$.data.visibility", "STRING"),
         ("hook_id", "$.data.hook_id", "INT"),
     ],
-    # silver_slack_audit_logs.py:40-67
+    # silver_slack_audit_logs.py:39-69 — column names match the reference
+    # exactly (actor_id/actor_name/actor_email/date_create_ts) so the gold
+    # transforms can cite field-for-field
     "slack": [
         ("event_id", "$.id", "STRING"),
         ("action", "$.action", "STRING"),
-        ("date_create_s", "$.date_create", "BIGINT"),
+        ("date_create_ts", "$.date_create", "BIGINT"),
+        ("actor_id", "$.actor.user.id", "STRING"),
+        ("actor_name", "$.actor.user.name", "STRING"),
+        ("actor_email", "$.actor.user.email", "STRING"),
         ("actor_type", "$.actor.type", "STRING"),
-        ("actor_user_id", "$.actor.user.id", "STRING"),
-        ("actor_user_name", "$.actor.user.name", "STRING"),
-        ("actor_user_email", "$.actor.user.email", "STRING"),
         ("entity_type", "$.entity.type", "STRING"),
         ("entity_id", "$.entity.id", "STRING"),
         ("entity_name", "$.entity.name", "STRING"),
@@ -65,36 +67,53 @@ SILVER_FIELDS: dict[str, list[tuple[str, str, str]]] = {
         ("session_id", "$.context.session_id", "STRING"),
         ("details", "$.details", "STRING"),
     ],
-    # silver_atlassian_audit_logs.py:40-78 (note container[0] array index)
+    # silver_atlassian_audit_logs.py:39-81 — reference names verbatim
+    # (actor_link, city/region_name/country_name, timezone, tags, context,
+    # changes; container_id = whole container[0] as STRING, container_type =
+    # CAST(NULL AS STRING) → path None below)
     "atlassian": [
         ("event_id", "$.id", "STRING"),
-        ("event_time_iso", "$.attributes.time", "STRING"),
         ("action", "$.attributes.action", "STRING"),
+        ("event_time_iso", "$.attributes.time", "STRING"),
         ("actor_id", "$.attributes.actor.id", "STRING"),
         ("actor_name", "$.attributes.actor.name", "STRING"),
         ("actor_email", "$.attributes.actor.email", "STRING"),
-        ("actor_link_self", "$.attributes.actor.links.self", "STRING"),
+        ("actor_link", "$.attributes.actor.links.self", "STRING"),
         ("auth_type", "$.attributes.actor.auth.authType", "STRING"),
         ("session_id", "$.attributes.actor.auth.sessionId", "STRING"),
         ("token_id", "$.attributes.actor.auth.tokenId", "STRING"),
         ("location_ip", "$.attributes.location.ip", "STRING"),
-        ("location_city", "$.attributes.location.city", "STRING"),
-        ("location_region", "$.attributes.location.regionName", "STRING"),
-        ("location_country", "$.attributes.location.countryName", "STRING"),
+        ("city", "$.attributes.location.city", "STRING"),
+        ("region_name", "$.attributes.location.regionName", "STRING"),
+        ("country_name", "$.attributes.location.countryName", "STRING"),
         ("location_geo", "$.attributes.location.geo", "STRING"),
-        ("location_timezone", "$.attributes.location.timezone", "STRING"),
         ("user_agent", "$.attributes.userAgent", "STRING"),
-        ("container_id", "$.attributes.container[0].id", "STRING"),
-        ("container_type", "$.attributes.container[0].type", "STRING"),
-        ("context_id", "$.attributes.context[0].id", "STRING"),
-        ("context_type", "$.attributes.context[0].type", "STRING"),
+        ("timezone", "$.attributes.location.timezone", "STRING"),
         ("message_content", "$.message.content", "STRING"),
-        ("message_format", "$.message.format", "STRING"),
         ("message_locale", "$.message.i18n.locale", "STRING"),
+        ("message_format", "$.message.format", "STRING"),
         ("risk_score", "$.risk.score", "INT"),
         ("risk_level", "$.risk.level", "STRING"),
+        ("container_id", "$.attributes.container[0]", "STRING"),
+        ("container_type", None, "STRING"),  # CAST(NULL AS STRING)
+        ("tags", "$.tags", "STRING"),
+        ("context", "$.attributes.context[0]", "STRING"),
+        ("changes", "$.attributes.changes[0]", "STRING"),
     ],
 }
+
+
+def silver_schema(source: str) -> "pa.Schema":
+    """Static silver schema (meta cols + typed fields + raw data) — lets the
+    medallion pass writer schemas explicitly instead of probing the plan."""
+    from .. import expr
+    from ..schema import BRONZE
+
+    fields = [BRONZE.field(m) for m in BRONZE_META_COLS]
+    for name, _path, typ in SILVER_FIELDS[source]:
+        fields.append(pa.field(name, expr._TYPE_MAP[typ]))
+    fields.append(pa.field("data", pa.string()))
+    return pa.schema(fields)
 
 
 class SilverExtract:

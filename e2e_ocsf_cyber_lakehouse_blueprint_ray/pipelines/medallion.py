@@ -118,7 +118,17 @@ class Medallion:
                 seen.update(json.loads(raw).get(tag, []))
         return [p for p in upstream.live_files() if p not in seen]
 
-    def _run_flow(self, upstream: Table, downstream: Table, tag: str, transform, *, use_actor: bool, evolve: bool) -> int | None:
+    def _run_flow(
+        self,
+        upstream: Table,
+        downstream: Table,
+        tag: str,
+        transform,
+        *,
+        use_actor: bool,
+        evolve: bool,
+        schema: pa.Schema | None = None,
+    ) -> int | None:
         import ray.data as rd
 
         new_files = self._new_upstream_files(upstream, downstream, tag)
@@ -131,14 +141,9 @@ class Medallion:
             batch_size=self.config.batch_size,
             concurrency=self.config.rewrite_concurrency,
         )
-        schema_probe = None
-        if evolve:
-            # writer schema from the dataset plan (Arrow schema; triggers a
-            # tiny partial execution — at 100 TB scale pass it explicitly)
-            sch = out.schema()
-            base = getattr(sch, "base_schema", None)
-            if isinstance(base, pa.Schema):
-                schema_probe = base
+        # writer schemas are STATIC (silver_schema / class_schema) — no
+        # dataset-plan probe, no partial execution per flow
+        schema_probe = schema if evolve else None
         import json
 
         parent = downstream.current_snapshot_id()
@@ -170,6 +175,8 @@ class Medallion:
         return out
 
     def run_silver(self, *, use_actor: bool = False) -> dict[str, int | None]:
+        from ..functions.variant import silver_schema
+
         out = {}
         for src in SOURCES:
             out[src] = self._run_flow(
@@ -179,6 +186,7 @@ class Medallion:
                 SilverExtract(src),
                 use_actor=use_actor,
                 evolve=True,
+                schema=silver_schema(src),
             )
         return out
 
@@ -190,6 +198,8 @@ class Medallion:
         alternative shape: per class, ``Dataset.union`` the 3 per-source
         transformed streams and append once (one commit per sink instead of
         three)."""
+        from ..functions.ocsf import class_schema
+
         if union:
             return self._run_gold_union(use_actor=use_actor)
         out = {}
@@ -201,6 +211,7 @@ class Medallion:
                 GoldTransform(src, cls),
                 use_actor=use_actor,
                 evolve=True,
+                schema=class_schema(cls),
             )
         return out
 
@@ -237,13 +248,13 @@ class Medallion:
                 unioned = unioned.union(ds)
             import json
 
-            sch = unioned.schema()
-            base = getattr(sch, "base_schema", None)
+            from ..functions.ocsf import class_schema
+
             sid = sink.append_dataset(
                 unioned,
                 operation=f"flow-gold-union-{cls}",
                 use_actor=use_actor,
-                evolve_schema=base if isinstance(base, pa.Schema) else None,
+                evolve_schema=class_schema(cls),
                 extra={
                     "flow_inputs": json.dumps(
                         {f"gold-{src}-{cls}": sorted(nf) for src, _, nf in parts}

@@ -807,22 +807,39 @@ def q_supplier_nation(sf_dir: str):
 
 def q_medallion_gold(sf_dir: str):
     """Full bronze→silver→gold medallion run (15 flows → 6 sinks) on the
-    deterministic audit fixtures; returns per-class routed-event counts.
-    Rows-only (fixture inputs are not DuckDB views)."""
+    deterministic audit fixtures; returns routed counts per
+    (class, source, severity_id, activity_id) — a direct hash-check of the
+    per-class severity/activity CASE chains against the DuckDB oracle, which
+    re-derives the same ids from the raw JSON fixture with the reference's
+    CASE text (gold_*_audit_logs.py)."""
     from .. import synth
     from .medallion import GOLD_TABLES, Medallion
 
+    synth.ensure_oracle_fixture()  # the oracle side reads the fixed path
     work = tempfile.mkdtemp(prefix="medallion-", dir=cfg.scratch_dir())
     try:
         fixtures = os.path.join(work, "raw")
         synth.write_audit_fixture(fixtures, n_per_source=125)
         m = Medallion(os.path.join(work, "tables"), cfg.test_config())
         m.run_all(fixtures, use_actor_gold=True)
-        rows = []
+        parts = []
         for cls, name in sorted(GOLD_TABLES.items()):
-            got = m.table(name).read_arrow(columns=["class_uid"])
-            rows.append({"class_name": cls, "n": got.num_rows})
-        return pa.Table.from_pylist(rows)
+            got = m.table(name).read_arrow(
+                columns=["class_uid", "_source", "severity_id", "activity_id"]
+            )
+            if got.num_rows == 0:
+                continue
+            agg = got.group_by(
+                ["class_uid", "_source", "severity_id", "activity_id"]
+            ).aggregate([([], "count_all")])
+            parts.append(agg.rename_columns(
+                ["class_uid", "_source", "severity_id", "activity_id", "n"]
+            ))
+        out = pa.concat_tables(parts)
+        return out.take(pc.sort_indices(
+            out,
+            sort_keys=[(k, "ascending") for k in ("class_uid", "_source", "severity_id", "activity_id")],
+        ))
     finally:
         from ..state import metastore
 
@@ -854,6 +871,118 @@ def q_ngram_jaccard(sf_dir: str):
 # ---------------------------------------------------------------------------
 # Registry + oracles
 # ---------------------------------------------------------------------------
+
+#: severity_id / activity_id CASE expressions per (source, class) for the
+#: medallion oracle — the reference's selectExpr CASE text VERBATIM
+#: (gold_github_audit_logs.py:55-66,135-137,202-204,265-267,322-330;
+#: gold_slack_audit_logs.py:55-66,140-142,212-214,283-285,355-368;
+#: gold_atlassian_audit_logs.py:57-69,139-145,233-243,311-318,398-406),
+#: runnable in DuckDB unchanged (same LIKE/CASE semantics).
+_MEDALLION_CASES = {
+    ("github", "account_change"): (
+        "CASE WHEN action LIKE '%delete%' OR action LIKE '%suspend%' THEN 4 WHEN action LIKE '%create%' OR action LIKE '%update%' THEN 2 ELSE 1 END",
+        "CASE WHEN action LIKE '%created' THEN 1 WHEN action LIKE '%updated' OR action LIKE '%renamed' THEN 3 WHEN action LIKE '%deleted' THEN 4 ELSE 99 END",
+    ),
+    ("github", "authentication"): (
+        "CASE WHEN action LIKE '%failed%' THEN 4 ELSE 1 END",
+        "CASE WHEN action LIKE '%login' OR action LIKE 'oauth_authorization.create' THEN 1 WHEN action LIKE '%logout' OR action LIKE 'oauth_authorization.destroy' THEN 2 ELSE 99 END",
+    ),
+    ("github", "authorize_session"): (
+        "CASE WHEN action LIKE '%remove%' THEN 3 WHEN action LIKE '%add%' THEN 2 ELSE 1 END",
+        "CASE WHEN action LIKE '%add%' THEN 5 WHEN action LIKE '%remove%' THEN 6 ELSE 99 END",
+    ),
+    ("github", "user_access"): (
+        "CASE WHEN action LIKE '%remove%' THEN 3 WHEN action LIKE '%add%' THEN 2 ELSE 1 END",
+        "CASE WHEN action LIKE '%add%' THEN 5 WHEN action LIKE '%remove%' THEN 6 WHEN action LIKE '%update%' THEN 3 ELSE 99 END",
+    ),
+    ("github", "group_management"): (
+        "CASE WHEN action LIKE '%destroy%' THEN 3 WHEN action LIKE '%create%' THEN 2 ELSE 1 END",
+        "CASE WHEN action LIKE '%create' THEN 1 WHEN action LIKE '%destroy' THEN 4 WHEN action LIKE '%add_member' THEN 5 WHEN action LIKE '%remove_member' THEN 6 ELSE 99 END",
+    ),
+    ("slack", "account_change"): (
+        "CASE WHEN action LIKE '%deactivated%' THEN 4 WHEN action LIKE '%created%' OR action LIKE '%reactivated%' THEN 2 ELSE 1 END",
+        "CASE WHEN action LIKE '%created' THEN 1 WHEN action LIKE '%changed' OR action LIKE '%assigned' THEN 3 WHEN action LIKE '%deactivated' THEN 4 ELSE 99 END",
+    ),
+    ("slack", "authentication"): (
+        "CASE WHEN action LIKE '%failed%' THEN 4 ELSE 1 END",
+        "CASE WHEN action LIKE '%login' AND action NOT LIKE '%logout%' THEN 1 WHEN action LIKE '%logout' THEN 2 ELSE 99 END",
+    ),
+    ("slack", "authorize_session"): (
+        "CASE WHEN action LIKE '%sso%' THEN 3 WHEN action LIKE '%changed' THEN 2 ELSE 1 END",
+        "CASE WHEN action LIKE '%created' OR action LIKE '%enabled' THEN 1 WHEN action LIKE '%changed' THEN 3 WHEN action LIKE '%disabled' THEN 4 ELSE 99 END",
+    ),
+    ("slack", "user_access"): (
+        "CASE WHEN action LIKE '%removed%' OR action LIKE '%uninstalled%' THEN 3 WHEN action LIKE '%invited%' OR action LIKE '%installed%' THEN 2 ELSE 1 END",
+        "CASE WHEN action LIKE '%installed' OR action LIKE '%invited' THEN 5 WHEN action LIKE '%uninstalled' OR action LIKE '%removed' THEN 6 WHEN action LIKE '%expanded' THEN 3 ELSE 99 END",
+    ),
+    ("slack", "group_management"): (
+        "CASE WHEN action LIKE '%deleted%' THEN 3 WHEN action LIKE '%created%' THEN 2 ELSE 1 END",
+        "CASE WHEN action LIKE '%created' THEN 1 WHEN action LIKE '%changed' OR action LIKE '%updated' OR action LIKE '%rename' OR action LIKE '%converted%' THEN 3 WHEN action LIKE '%deleted' OR action LIKE '%archive' THEN 4 WHEN action LIKE '%added' OR action LIKE '%joined' THEN 5 WHEN action LIKE '%removed' THEN 6 ELSE 99 END",
+    ),
+    ("atlassian", "account_change"): (
+        "CASE WHEN risk_score >= 70 OR action LIKE '%delete%' OR risk_level = 'high' THEN 4 WHEN risk_score >= 40 OR action LIKE '%disable%' OR risk_level = 'medium' THEN 3 WHEN risk_score >= 20 OR action LIKE '%create%' OR action LIKE '%enable%' THEN 2 ELSE 1 END",
+        "CASE WHEN action LIKE '%created' OR action LIKE '%enabled' THEN 1 WHEN action LIKE '%updated' THEN 3 WHEN action LIKE '%deleted' OR action LIKE '%disabled' OR action LIKE '%revoked' THEN 4 ELSE 99 END",
+    ),
+    ("atlassian", "authentication"): (
+        "CASE WHEN risk_score >= 70 OR action LIKE '%failed%' OR risk_level = 'high' THEN 4 WHEN risk_score >= 40 OR risk_level = 'medium' THEN 3 ELSE 1 END",
+        "CASE WHEN action LIKE '%login' AND action NOT LIKE '%logout%' THEN 1 WHEN action LIKE '%logout' OR action LIKE '%session_ended' THEN 2 ELSE 99 END",
+    ),
+    ("atlassian", "authorize_session"): (
+        "CASE WHEN risk_score >= 70 OR action LIKE '%revoked%' OR risk_level = 'high' THEN 4 WHEN risk_score >= 40 OR action LIKE '%granted%' OR risk_level = 'medium' THEN 3 ELSE 2 END",
+        "CASE WHEN action LIKE '%granted%' OR action LIKE '%assigned%' OR action LIKE '%enabled%' THEN 5 WHEN action LIKE '%revoked%' OR action LIKE '%removed%' OR action LIKE '%disabled%' THEN 6 ELSE 99 END",
+    ),
+    ("atlassian", "entity_management"): (
+        "CASE WHEN risk_score >= 70 OR action LIKE '%deleted%' OR risk_level = 'high' THEN 4 WHEN risk_score >= 40 OR risk_level = 'medium' THEN 3 WHEN action LIKE '%created%' THEN 2 ELSE 1 END",
+        "CASE WHEN action LIKE '%created' THEN 1 WHEN action LIKE '%deleted' THEN 4 ELSE 99 END",
+    ),
+    ("atlassian", "group_management"): (
+        "CASE WHEN action LIKE '%deleted%' THEN 3 WHEN action LIKE '%created%' THEN 2 ELSE 1 END",
+        "CASE WHEN action LIKE '%created' THEN 1 WHEN action LIKE '%deleted' THEN 4 WHEN action LIKE '%member_added' THEN 5 WHEN action LIKE '%member_removed' THEN 6 ELSE 99 END",
+    ),
+}
+
+
+def _medallion_oracle_sql() -> str:
+    """DuckDB oracle for q_medallion_gold: re-derives the routed per-class
+    severity/activity counts straight from the raw JSON fixture using the
+    reference's regex routing + CASE chains."""
+    from .. import synth
+    from ..functions.ocsf import CLASS_REGEX, OCSF_CLASS_UIDS
+
+    d = synth.ORACLE_FIXTURE_DIR
+    ctes = f"""
+WITH gh AS (
+  SELECT json_extract_string(j, '$.action') AS action
+  FROM read_json_objects('{d}/github.jsonl', format='newline_delimited') AS t(j)
+), sl AS (
+  SELECT json_extract_string(j, '$.action') AS action
+  FROM read_json_objects('{d}/slack.jsonl', format='newline_delimited') AS t(j)
+), at AS (
+  SELECT json_extract_string(j, '$.attributes.action') AS action,
+         CAST(json_extract(j, '$.risk.score') AS INTEGER) AS risk_score,
+         json_extract_string(j, '$.risk.level') AS risk_level
+  FROM read_json_objects('{d}/atlassian.jsonl', format='newline_delimited') AS t(j)
+)"""
+    cte_of = {"github": "gh", "slack": "sl", "atlassian": "at"}
+    blocks = []
+    for (src, cls), (sev, act) in sorted(_MEDALLION_CASES.items()):
+        # DuckDB single-quoted strings treat backslash literally — the regex
+        # text passes through unchanged
+        regex = CLASS_REGEX[(src, cls)]
+        blocks.append(
+            f"SELECT '{src}' AS _source, {OCSF_CLASS_UIDS[cls]} AS class_uid,\n"
+            f"       {sev} AS severity_id,\n"
+            f"       {act} AS activity_id\n"
+            f"FROM {cte_of[src]} WHERE regexp_matches(action, '{regex}')"
+        )
+    routed = "\nUNION ALL\n".join(blocks)
+    return (
+        ctes
+        + f", routed AS (\n{routed}\n)\n"
+        + "SELECT class_uid, _source, severity_id, activity_id, COUNT(*) AS n\n"
+        + "FROM routed GROUP BY 1, 2, 3, 4 ORDER BY 1, 2, 3, 4"
+    )
+
 
 STOP_SQL = "('" + "','".join(text_mod.STOPWORDS) + "')"
 
@@ -930,7 +1059,13 @@ _MERGED_SELECT = "SELECT conv_id, turn_idx, role, text, tool, ts FROM merged"
 
 
 def oracle_sql() -> dict:
+    from .. import synth
+
+    # the medallion oracle reads a fixed-path JSONL fixture; make sure it
+    # exists whichever side (queries/oracle) the driver evaluates first
+    synth.ensure_oracle_fixture()
     return {
+        "q_medallion_gold": _medallion_oracle_sql(),
         "q01_pricing_summary": """
             SELECT l_returnflag, l_linestatus,
                    CAST(SUM(CAST(FLOOR(l_quantity * 100 + 0.5) AS BIGINT)) AS BIGINT) AS sum_qty,

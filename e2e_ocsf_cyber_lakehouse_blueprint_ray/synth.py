@@ -334,6 +334,33 @@ def audit_events(source: str, n: int = 125, start: int = 0) -> list[str]:
     return out
 
 
+#: fixed, deterministic location for the DuckDB medallion oracle: the SQL in
+#: oracle_sql() is a static string, so it reads the fixture from a constant
+#: path; both queries() and oracle_sql() call ensure_oracle_fixture() so
+#: either side can run first.
+ORACLE_FIXTURE_DIR = "/tmp/lakeray-medallion-oracle"
+
+
+def ensure_oracle_fixture(n_per_source: int = 125) -> dict[str, str]:
+    """One JSONL file per source at a CONSTANT path with the same
+    deterministic 125 events write_audit_fixture produces — registered via
+    ``read_json_objects`` in the q_medallion_gold oracle SQL."""
+    import os
+
+    os.makedirs(ORACLE_FIXTURE_DIR, exist_ok=True)
+    out = {}
+    for src in ("github", "slack", "atlassian"):
+        p = os.path.join(ORACLE_FIXTURE_DIR, f"{src}.jsonl")
+        body = "\n".join(audit_events(src, n_per_source)) + "\n"
+        if not (os.path.exists(p) and open(p).read() == body):
+            tmp = p + f".tmp.{os.getpid()}"
+            with open(tmp, "w") as f:
+                f.write(body)
+            os.replace(tmp, p)
+        out[src] = p
+    return out
+
+
 def write_audit_fixture(
     root: str,
     n_per_source: int = 125,
