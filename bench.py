@@ -245,41 +245,48 @@ def run_scaling():
         )
         return json.loads(p.stdout.strip().splitlines()[-1])
 
-    # N vs 4N stand-in. Default 4 vs 16 cores rather than 8 vs 32: the box
-    # has ONE memory bus, and at 32 concurrent rewrite tasks DRAM bandwidth
-    # saturates (~1.25× per-task inflation measured), which a real 4N-node
-    # cluster doesn't see — each node brings its own DRAM/disks. Staying
-    # under the box's bandwidth ceiling makes the two levels comparable the
-    # way two cluster sizes are. Override with SCALING_CPUS=8,32.
-    lo, hi = (int(x) for x in os.environ.get("SCALING_CPUS", "4,16").split(","))
+    # N vs 4N stand-ins. BOTH pairs are reported so the single-box ceiling
+    # stays auditable: 4 vs 16 cores stays under the box's DRAM-bandwidth
+    # saturation point (~1.25× per-task inflation measured at 32 concurrent
+    # rewrite tasks), which a real 4N-node cluster doesn't see — each node
+    # brings its own DRAM/disks; 8 vs 32 shows the raw all-cores number,
+    # ceiling included. Override with SCALING_CPUS="4,16;8,32" syntax.
+    pairs = [
+        tuple(int(x) for x in p.split(","))
+        for p in os.environ.get("SCALING_CPUS", "4,16;8,32").split(";")
+    ]
     # repeat each level and keep the fastest run: the sandbox VM shares a
     # host, and ±30% wall-time noise between runs otherwise swamps the
     # comparison (measured 1.14 then 0.61 efficiency back to back)
     repeat = int(os.environ.get("SCALING_REPEAT", "2"))
+    cache: dict[int, dict] = {}
 
     def best(ncpu: int) -> dict:
-        runs = [one(ncpu) for _ in range(repeat)]
-        return min(runs, key=lambda r: r["value"])
+        if ncpu not in cache:
+            cache[ncpu] = min((one(ncpu) for _ in range(repeat)), key=lambda r: r["value"])
+        return cache[ncpu]
 
-    r_lo = best(lo)
-    r_hi = best(hi)
-    eff = (r_lo["value"] / r_hi["value"]) / (hi / lo)
-    print(
-        json.dumps(
+    out: dict = {"pairs": []}
+    for lo, hi in pairs:
+        r_lo, r_hi = best(lo), best(hi)
+        eff = (r_lo["value"] / r_hi["value"]) / (hi / lo)
+        out["pairs"].append(
             {
+                "cpus": [lo, hi],
                 f"sec_{lo}": r_lo["value"],
                 f"sec_{hi}": r_hi["value"],
                 f"turns_per_sec_{lo}": r_lo["turns_per_sec"],
                 f"turns_per_sec_{hi}": r_hi["turns_per_sec"],
-                "cpus": [lo, hi],
                 "scaling_efficiency": round(eff, 3),
-                "sf": r_lo["sf"],
-                "rows": r_lo["rows"],
                 f"stage_sec_{lo}": {k: v for k, v in r_lo["queries"].items() if k.startswith("maint")},
                 f"stage_sec_{hi}": {k: v for k, v in r_hi["queries"].items() if k.startswith("maint")},
             }
         )
-    )
+    first = out["pairs"][0]
+    out.update(first)  # headline pair at top level for the driver
+    out["sf"] = best(pairs[0][0])["sf"]
+    out["rows"] = best(pairs[0][0])["rows"]
+    print(json.dumps(out))
 
 
 if __name__ == "__main__":
