@@ -30,6 +30,14 @@ def test_temporal_conversions():
     iso = pa.array(["2025-01-15T10:30:00.000Z", "garbage", None])
     out = expr.to_timestamp_iso(iso).to_pylist()
     assert out[0].day == 15 and out[1] is None and out[2] is None
+    # offsets CONVERT to UTC (Spark to_timestamp semantics), sub-second kept
+    tz = pa.array(
+        ["2025-01-15T10:30:00+05:30", "2025-01-15T10:30:00.250-02:00", "2025-01-15T10:30:00"]
+    )
+    got = expr.to_timestamp_iso(tz).to_pylist()
+    assert (got[0].hour, got[0].minute) == (5, 0)
+    assert (got[1].hour, got[1].microsecond) == (12, 250000)
+    assert got[2].hour == 10  # offset-less = UTC
 
 
 def test_case_when_and_like():

@@ -122,3 +122,48 @@ def test_rollback_time_travel(tmp_table_dir, ray_session):
     assert sorted_scan(t).equals(pre)
     # the merged snapshot remains readable (history preserved)
     assert sorted_scan(t, snapshot_id=3).num_rows != pre.num_rows
+
+
+def test_commit_self_heals_orphaned_snapshot(tmp_path):
+    """A snapshot file published WITHOUT a pointer update (committer crashed
+    between try_write_snapshot and set_current, or a pointer write was lost)
+    must not wedge the table: the next commit builds on it and heals the
+    CURRENT pointer."""
+    data = synth.transcripts(0.001)
+    t = make_table(str(tmp_path / "tbl"), data.slice(0, 300))
+    assert t.current_snapshot_id() == 1
+    # orphan snap-2: identical live set, pointer NOT advanced
+    ents, meta = t.snapshot(1)
+    assert manifest.try_write_snapshot(
+        t.dir, 2, ents, parent_id=1, operation="orphan",
+        schema=meta["schema"], partition_spec=meta["partition_spec"],
+    )
+    # pointer still 1 — simulate the crash window
+    assert manifest.current_id(t.dir) == 1
+    sid = t.write_table(data.slice(300, 200), name_prefix="w2")
+    assert sid == 3  # built on the orphan, not colliding with its id
+    assert t.current_snapshot_id() == 3
+    got = sorted_scan(t)
+    assert got.num_rows == 500
+
+
+def test_commit_rejects_duplicate_added_paths(tmp_path):
+    data = synth.transcripts(0.001).slice(0, 100)
+    t = make_table(str(tmp_path / "tbl"), data)
+    live = t.entries()
+    # re-adding a live path must conflict (would double-reference the file)
+    with pytest.raises(ConflictError):
+        t.commit(added=live.slice(0, 1), removed=[], operation="dup")
+    # duplicate paths within one added set must conflict
+    dup = pa.concat_tables([live.slice(0, 1), live.slice(0, 1)])
+    with pytest.raises(ConflictError):
+        t.commit(added=dup, removed=[live["path"][0].as_py()], operation="dup2")
+
+
+def test_set_current_never_regresses(tmp_path):
+    data = synth.transcripts(0.001).slice(0, 100)
+    t = make_table(str(tmp_path / "tbl"), data)
+    t.write_table(data.slice(0, 50), name_prefix="x")  # snap 2
+    assert t.current_snapshot_id() == 2
+    manifest.set_current(t.dir, 1)  # stale writer tries to move back
+    assert t.current_snapshot_id() == 2
