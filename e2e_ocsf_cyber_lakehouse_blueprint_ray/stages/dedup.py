@@ -107,10 +107,20 @@ def minhash_signature(shingles: set[int], a: np.ndarray, b: np.ndarray) -> np.nd
 
 
 class MinHasher:
-    """Actor-pool stage: text → (doc_id, band, band_hash) rows.
+    """Actor-pool stage: text → (doc_id, band, band_hash) rows — fully
+    vectorized ACROSS the batch, not per document:
 
-    Permutation params + compiled splitter built ONCE per actor; per batch
-    the work is hashing distinct shingles and one vectorized min-reduce.
+    1. ONE Arrow regex split + ONE polars hash over the flattened token
+       child array;
+    2. k-gram shingle hashes as a global polynomial combine over the flat
+       token hashes, with grams that straddle a row boundary masked out
+       (rows shorter than k fall back to one whole-row gram — the same
+       semantics as hashing the joined text);
+    3. the (P, G) permutation matrix min-reduced PER ROW with
+       ``np.minimum.reduceat`` — no Python loop over documents;
+    4. band hashes as a second polynomial combine over each band's rows.
+
+    Permutation params built ONCE per actor (``__init__``).
     """
 
     def __init__(self, *, num_perm: int = 64, bands: int = 16, shingle_k: int = 3,
@@ -123,28 +133,85 @@ class MinHasher:
         self.text_col = text_col
         self.id_col = id_col
 
+    def _token_gram_hashes(self, text: pa.Array) -> tuple[np.ndarray, np.ndarray]:
+        """flat gram hashes + per-row gram offsets (row r owns
+        grams[offs[r]:offs[r+1]], always ≥1 gram per row)."""
+        import polars as pl
+
+        toks = pc.split_pattern_regex(
+            pc.utf8_trim_whitespace(pc.fill_null(text, "")), r"\s+"
+        )
+        toks = toks.combine_chunks() if isinstance(toks, pa.ChunkedArray) else toks
+        t_off = toks.offsets.to_numpy(zero_copy_only=False).astype(np.int64)
+        flat = toks.flatten()
+        tok_h = (
+            pl.from_arrow(flat).hash(seed=0).to_numpy().astype(np.uint64)
+            if len(flat)
+            else np.empty(0, np.uint64)
+        )
+        n = len(toks)
+        lo, hi = t_off[:-1], t_off[1:]
+        lens = hi - lo
+        k = self.k
+        # global k-gram polynomial; gram starting at token p is valid iff the
+        # whole gram stays within p's row AND the row has ≥ k tokens
+        F = len(tok_h)
+        m = max(0, F - k + 1)
+        grams_all = np.zeros(m, dtype=np.uint64)
+        for i in range(k):
+            grams_all = (grams_all * _FP_BASE_MH + (tok_h[i : i + m] % _MERSENNE)) % _MERSENNE
+        row_of = np.repeat(np.arange(n, dtype=np.int64), lens)
+        valid = row_of[:m] == row_of[k - 1 : k - 1 + m] if m else np.empty(0, bool)
+        # short rows (< k tokens): one whole-row polynomial gram
+        short = np.flatnonzero(lens < k)
+        short_grams = np.zeros(len(short), dtype=np.uint64)
+        with np.errstate(over="ignore"):  # uint64 wrap is the hash semantics
+            for j, r in enumerate(short):
+                h = tok_h[lo[r] : hi[r]]
+                g = np.uint64(0)
+                for v in h:
+                    g = (g * _FP_BASE_MH + (v % _MERSENNE)) % _MERSENNE
+                short_grams[j] = g
+        # assemble per-row grams in row-major order (stable sort on row id)
+        vg_rows = row_of[:m][valid] if m else np.empty(0, np.int64)
+        vg = grams_all[valid] if m else np.empty(0, np.uint64)
+        all_rows = np.r_[vg_rows, short]
+        all_grams = np.r_[vg, short_grams]
+        order = np.argsort(all_rows, kind="stable")
+        counts = np.bincount(all_rows, minlength=n) if len(all_rows) else np.zeros(n, np.int64)
+        return all_grams[order], np.r_[0, np.cumsum(counts)]
+
     def signature(self, text: str) -> np.ndarray:
-        return minhash_signature(_word_shingles(text.split(), self.k), self.a, self.b)
+        grams, _ = self._token_gram_hashes(pa.array([text], pa.string()))
+        return minhash_signature(set(int(g) for g in grams), self.a, self.b)
 
     def __call__(self, batch: pa.Table) -> pa.Table:
-        ids = batch[self.id_col].to_pylist()
-        texts = batch[self.text_col].to_pylist()
-        out_id, out_band, out_bh = [], [], []
-        for i, t in zip(ids, texts):
-            sig = self.signature(t or "")
-            for bnd in range(self.bands):
-                chunk = sig[bnd * self.rows_per_band : (bnd + 1) * self.rows_per_band]
-                bh = hashlib.blake2b(chunk.tobytes(), digest_size=8).digest()
-                out_id.append(i)
-                out_band.append(bnd)
-                out_bh.append(int.from_bytes(bh, "little") >> 1)
+        ids = batch[self.id_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        text = batch[self.text_col]
+        text = text.combine_chunks() if isinstance(text, pa.ChunkedArray) else text
+        grams, offs = self._token_gram_hashes(text)
+        n = len(ids)
+        # (P, G) permuted values, min per row segment (every row has ≥1 gram)
+        phi = ((self.a[:, None] * (grams[None, :] % _MERSENNE)) + self.b[:, None]) % _MERSENNE
+        sig = np.minimum.reduceat(phi, offs[:-1], axis=1)  # (P, n)
+        # band hashes: polynomial over each band's rows_per_band values
+        rpb, bands = self.rows_per_band, self.bands
+        band_hash = np.zeros((bands, n), dtype=np.uint64)
+        for bnd in range(bands):
+            for r in range(rpb):
+                band_hash[bnd] = (band_hash[bnd] * _FP_BASE_MH + sig[bnd * rpb + r]) % _MERSENNE
         return pa.table(
             {
-                "doc_id": pa.array(out_id, pa.int64()),
-                "band": pa.array(out_band, pa.int32()),
-                "band_hash": pa.array(out_bh, pa.int64()),
+                "doc_id": pa.array(np.repeat(ids, bands)),
+                "band": pa.array(np.tile(np.arange(bands, dtype=np.int32), n)),
+                "band_hash": pa.array(
+                    band_hash.T.reshape(-1).view(np.int64), pa.int64()
+                ),
             }
         )
+
+
+_FP_BASE_MH = np.uint64(1_000_003)
 
 
 def jaccard(a: set, b: set) -> float:
@@ -272,23 +339,51 @@ def minhash_duplicate_pairs(
 
 
 def simhash64(tokens: list[str]) -> int:
+    """Single-doc reference implementation (tests/debug); the batch path is
+    the vectorized ``add_simhash`` below."""
     if not tokens:
         return 0
-    hs = np.fromiter(
-        (int.from_bytes(hashlib.blake2b(t.encode(), digest_size=8).digest(), "little") for t in tokens),
-        dtype=np.uint64,
-        count=len(tokens),
-    )
+    import polars as pl
+
+    hs = pl.Series(tokens).hash(seed=0).to_numpy().astype(np.uint64)
     bits = ((hs[:, None] >> np.arange(64, dtype=np.uint64)[None, :]) & np.uint64(1)).astype(np.int64)
     votes = (2 * bits - 1).sum(axis=0)
     return int(((votes > 0).astype(np.uint64) << np.arange(64, dtype=np.uint64)).sum())
 
 
 def add_simhash(batch: pa.Table, *, text_col: str = "text", out_col: str = "simhash") -> pa.Table:
-    vals = [simhash64((t or "").split()) for t in batch[text_col].to_pylist()]
-    # store as int64 (reinterpret uint64 bits)
-    arr = np.array(vals, dtype=np.uint64).view(np.int64)
-    return batch.append_column(out_col, pa.array(arr, pa.int64()))
+    """Vectorized batch simhash: ONE polars hash over the flattened token
+    child array, then 64 per-bit cumsum reductions over the list offsets —
+    no per-row (or per-token) Python in the hot path."""
+    import pyarrow.compute as _pc
+
+    text = batch[text_col]
+    text = text.combine_chunks() if isinstance(text, pa.ChunkedArray) else text
+    toks = _pc.split_pattern_regex(_pc.utf8_trim_whitespace(_pc.fill_null(text, "")), r"\s+")
+    toks = toks.combine_chunks() if isinstance(toks, pa.ChunkedArray) else toks
+    offsets = toks.offsets.to_numpy(zero_copy_only=False).astype(np.int64)
+    flat = toks.flatten()
+    n = batch.num_rows
+    out = np.zeros(n, dtype=np.uint64)
+    if len(flat):
+        import polars as pl
+
+        hs = pl.from_arrow(flat).hash(seed=0).to_numpy().astype(np.uint64)
+        lo, hi = offsets[:-1], offsets[1:]
+        lens = (hi - lo).astype(np.int64)
+        for b in range(64):
+            bit = ((hs >> np.uint64(b)) & np.uint64(1)).astype(np.int64)
+            cs = np.r_[0, np.cumsum(bit)]
+            ones = cs[hi] - cs[lo]           # tokens voting 1 per row
+            votes = 2 * ones - lens          # (+1/-1 votes summed)
+            out |= (votes > 0).astype(np.uint64) << np.uint64(b)
+        # whitespace-only/empty docs hash to 0, matching simhash64([]) —
+        # Arrow's split of "" yields [""] where Python's .split() yields []
+        empty = _pc.equal(
+            _pc.utf8_length(_pc.utf8_trim_whitespace(_pc.fill_null(text, ""))), 0
+        ).to_numpy(zero_copy_only=False)
+        out[empty | (lens == 0)] = 0
+    return batch.append_column(out_col, pa.array(out.view(np.int64), pa.int64()))
 
 
 def simhash_duplicate_pairs(ds, *, max_hamming: int = 3, id_col: str = "doc_id",
@@ -300,20 +395,19 @@ def simhash_duplicate_pairs(ds, *, max_hamming: int = 3, id_col: str = "doc_id",
     )
 
     def explode(batch: pa.Table) -> pa.Table:
-        sh = batch[id_col].to_pylist()
+        # fully vectorized ×4 band explode: repeat ids/sims, shift-and-mask
+        # the 16-bit band keys in one numpy expression
+        ids = batch[id_col].to_numpy(zero_copy_only=False).astype(np.int64)
         sim = batch["simhash"].to_numpy(zero_copy_only=False).view(np.uint64)
-        out_id, out_band, out_key, out_sim = [], [], [], []
-        for i, s in zip(sh, sim):
-            for bnd in range(4):
-                out_id.append(i)
-                out_band.append(bnd)
-                out_key.append(int((s >> np.uint64(16 * bnd)) & np.uint64(0xFFFF)))
-                out_sim.append(int(s))
+        n = len(ids)
+        bands = np.tile(np.arange(4, dtype=np.int32), n)
+        sim_rep = np.repeat(sim, 4)
+        keys = ((sim_rep >> (16 * bands).astype(np.uint64)) & np.uint64(0xFFFF)).astype(np.int32)
         return pa.table({
-            "doc_id": pa.array(out_id, pa.int64()),
-            "band": pa.array(out_band, pa.int32()),
-            "key": pa.array(out_key, pa.int32()),
-            "sim": pa.array(np.array(out_sim, dtype=np.uint64).view(np.int64), pa.int64()),
+            "doc_id": pa.array(np.repeat(ids, 4)),
+            "band": pa.array(bands),
+            "key": pa.array(keys),
+            "sim": pa.array(sim_rep.view(np.int64), pa.int64()),
         })
 
     ex = ds.map_batches(explode, batch_format="pyarrow", batch_size=config.batch_size)
