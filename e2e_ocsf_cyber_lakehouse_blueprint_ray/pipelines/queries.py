@@ -694,6 +694,16 @@ def q_lang_id(sf_dir: str):
     return out.map_batches(lambda b: b.select(["doc_id", "pred_lang"]), batch_format="pyarrow")
 
 
+def q_text_scrub(sf_dir: str):
+    """Rule-based PII scrubbing (emails + long digit runs) — training-data
+    hygiene over the documents table."""
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+    out = ds.map_batches(text_mod.scrub_pii, batch_format="pyarrow")
+    return out.map_batches(
+        lambda b: b.select(["doc_id", "scrubbed", "n_redactions"]), batch_format="pyarrow"
+    )
+
+
 def q_fingerprint_md5(sf_dir: str):
     ds = _read(sf_dir, "documents", ["doc_id", "text"])
     out = ds.map_batches(text_mod.fingerprint_md5, batch_format="pyarrow")
@@ -822,23 +832,25 @@ def q_medallion_gold(sf_dir: str):
         synth.write_audit_fixture(fixtures, n_per_source=125)
         m = Medallion(os.path.join(work, "tables"), cfg.test_config())
         m.run_all(fixtures, use_actor_gold=True)
+        keys = ["class_uid", "_source", "severity_id", "activity_id", "status_id",
+                "auth_protocol_id"]
         parts = []
         for cls, name in sorted(GOLD_TABLES.items()):
-            got = m.table(name).read_arrow(
-                columns=["class_uid", "_source", "severity_id", "activity_id"]
-            )
+            t = m.table(name)
+            have = set(t.schema().names)
+            cols = [k for k in keys if k in have]
+            got = t.read_arrow(columns=cols)
             if got.num_rows == 0:
                 continue
-            agg = got.group_by(
-                ["class_uid", "_source", "severity_id", "activity_id"]
-            ).aggregate([([], "count_all")])
-            parts.append(agg.rename_columns(
-                ["class_uid", "_source", "severity_id", "activity_id", "n"]
-            ))
+            if "auth_protocol_id" not in have:  # non-authentication classes
+                got = got.append_column(
+                    "auth_protocol_id", pa.nulls(got.num_rows, pa.int32())
+                )
+            agg = got.select(keys).group_by(keys).aggregate([([], "count_all")])
+            parts.append(agg.rename_columns(keys + ["n"]))
         out = pa.concat_tables(parts)
         return out.take(pc.sort_indices(
-            out,
-            sort_keys=[(k, "ascending") for k in ("class_uid", "_source", "severity_id", "activity_id")],
+            out, sort_keys=[(k, "ascending") for k in keys]
         ))
     finally:
         from ..state import metastore
@@ -942,25 +954,49 @@ _MEDALLION_CASES = {
 }
 
 
+#: status_id CASE per (source, class): '%failed%' → 2 where the reference
+#: derives it, constant 1 elsewhere (gold_github_audit_logs.py:68,139,206,
+#: 269,332; gold_slack:68,144,216,287,370; gold_atlassian:71,147,245,320,408)
+_FAILED_STATUS = "CASE WHEN action LIKE '%failed%' THEN 2 ELSE 1 END"
+_MEDALLION_STATUS = {
+    ("github", "account_change"): _FAILED_STATUS,
+    ("github", "authentication"): _FAILED_STATUS,
+    ("slack", "authentication"): _FAILED_STATUS,
+    ("atlassian", "account_change"): _FAILED_STATUS,
+    ("atlassian", "authentication"): _FAILED_STATUS,
+}
+
+#: auth_protocol_id CASE for the authentication class only
+#: (gold_github_audit_logs.py:151-154, gold_slack:164, gold_atlassian:177-181)
+_MEDALLION_AUTH_PROTO = {
+    "github": "CASE WHEN action LIKE '%oauth%' THEN 2 ELSE 1 END",
+    "slack": "1",
+    "atlassian": "CASE WHEN auth_type LIKE '%sso%' THEN 4 WHEN auth_type = 'api-token' THEN 99 ELSE 1 END",
+}
+
+
 def _medallion_oracle_sql() -> str:
     """DuckDB oracle for q_medallion_gold: re-derives the routed per-class
-    severity/activity counts straight from the raw JSON fixture using the
-    reference's regex routing + CASE chains."""
+    severity/activity/status/auth-protocol counts straight from the raw JSON
+    fixture using the reference's regex routing + CASE chains."""
     from .. import synth
     from ..functions.ocsf import CLASS_REGEX, OCSF_CLASS_UIDS
 
     d = synth.ORACLE_FIXTURE_DIR
     ctes = f"""
 WITH gh AS (
-  SELECT json_extract_string(j, '$.action') AS action
+  SELECT json_extract_string(j, '$.action') AS action,
+         CAST(NULL AS VARCHAR) AS auth_type
   FROM read_json_objects('{d}/github.jsonl', format='newline_delimited') AS t(j)
 ), sl AS (
-  SELECT json_extract_string(j, '$.action') AS action
+  SELECT json_extract_string(j, '$.action') AS action,
+         CAST(NULL AS VARCHAR) AS auth_type
   FROM read_json_objects('{d}/slack.jsonl', format='newline_delimited') AS t(j)
 ), at AS (
   SELECT json_extract_string(j, '$.attributes.action') AS action,
          CAST(json_extract(j, '$.risk.score') AS INTEGER) AS risk_score,
-         json_extract_string(j, '$.risk.level') AS risk_level
+         json_extract_string(j, '$.risk.level') AS risk_level,
+         json_extract_string(j, '$.attributes.actor.auth.authType') AS auth_type
   FROM read_json_objects('{d}/atlassian.jsonl', format='newline_delimited') AS t(j)
 )"""
     cte_of = {"github": "gh", "slack": "sl", "atlassian": "at"}
@@ -969,18 +1005,27 @@ WITH gh AS (
         # DuckDB single-quoted strings treat backslash literally — the regex
         # text passes through unchanged
         regex = CLASS_REGEX[(src, cls)]
+        status = _MEDALLION_STATUS.get((src, cls), "1")
+        proto = (
+            _MEDALLION_AUTH_PROTO[src]
+            if cls == "authentication"
+            else "CAST(NULL AS INTEGER)"
+        )
         blocks.append(
             f"SELECT '{src}' AS _source, {OCSF_CLASS_UIDS[cls]} AS class_uid,\n"
             f"       {sev} AS severity_id,\n"
-            f"       {act} AS activity_id\n"
+            f"       {act} AS activity_id,\n"
+            f"       {status} AS status_id,\n"
+            f"       {proto} AS auth_protocol_id\n"
             f"FROM {cte_of[src]} WHERE regexp_matches(action, '{regex}')"
         )
     routed = "\nUNION ALL\n".join(blocks)
     return (
         ctes
         + f", routed AS (\n{routed}\n)\n"
-        + "SELECT class_uid, _source, severity_id, activity_id, COUNT(*) AS n\n"
-        + "FROM routed GROUP BY 1, 2, 3, 4 ORDER BY 1, 2, 3, 4"
+        + "SELECT class_uid, _source, severity_id, activity_id, status_id,\n"
+        + "       auth_protocol_id, COUNT(*) AS n\n"
+        + "FROM routed GROUP BY 1, 2, 3, 4, 5, 6 ORDER BY 1, 2, 3, 4, 5, 6"
     )
 
 
@@ -1040,6 +1085,7 @@ def queries() -> dict:
         "q_token_count_bpe": q_token_count_bpe,
         "q_text_quality": q_text_quality,
         "q_lang_id": q_lang_id,
+        "q_text_scrub": q_text_scrub,
         "q_fingerprint_md5": q_fingerprint_md5,
         "q_fingerprint_winnow": q_fingerprint_winnow,
         "q_multimodal_decode": q_multimodal_decode,
@@ -1201,6 +1247,16 @@ def oracle_sql() -> dict:
             FROM documents
         """,
         "q_lang_id": _lang_sql(),
+        "q_text_scrub": rf"""
+            SELECT doc_id,
+                   regexp_replace(regexp_replace(text, '{text_mod.PII_EMAIL}', '<EMAIL>', 'g'),
+                                  '{text_mod.PII_DIGITS}', '<NUM>', 'g') AS scrubbed,
+                   CAST(len(regexp_extract_all(text, '{text_mod.PII_EMAIL}'))
+                        + len(regexp_extract_all(
+                              regexp_replace(text, '{text_mod.PII_EMAIL}', '<EMAIL>', 'g'),
+                              '{text_mod.PII_DIGITS}')) AS BIGINT) AS n_redactions
+            FROM documents
+        """,
         "q_fingerprint_md5": "SELECT doc_id, md5(text) AS fp_md5 FROM documents",
         "q_multimodal_decode": """
             SELECT doc_id AS media_id,

@@ -117,6 +117,29 @@ def lang_id(batch: pa.Table, *, text_col: str = "text", out_col: str = "pred_lan
     return batch.append_column(out_col, pa.array(pred, pa.string()))
 
 
+#: PII scrub patterns (RE2 — identical semantics in pyarrow and DuckDB).
+#: Emails first (they contain digit runs), then long digit runs
+#: (account/phone-number shaped).
+PII_EMAIL = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+PII_DIGITS = r"[0-9]{6,}"
+
+
+def scrub_pii(batch: pa.Table, *, text_col: str = "text", out_col: str = "scrubbed") -> pa.Table:
+    """Rule-based PII scrubbing (training-data hygiene op): redact emails and
+    long digit runs, count redactions. Fully vectorized —
+    ``pc.count_substring_regex`` + two ``pc.replace_substring_regex`` passes."""
+    text = batch[text_col]
+    text = text.combine_chunks() if isinstance(text, pa.ChunkedArray) else text
+    n_email = pc.count_substring_regex(text, PII_EMAIL)
+    step1 = pc.replace_substring_regex(text, PII_EMAIL, "<EMAIL>")
+    n_digit = pc.count_substring_regex(step1, PII_DIGITS)
+    scrubbed = pc.replace_substring_regex(step1, PII_DIGITS, "<NUM>")
+    out = _set_col(batch, out_col, scrubbed)
+    return _set_col(
+        out, "n_redactions", pc.cast(pc.add(n_email, n_digit), pa.int64())
+    )
+
+
 def fingerprint_md5(batch: pa.Table, *, text_col: str = "text", out_col: str = "fp_md5") -> pa.Table:
     """Content fingerprint = md5 hex (oracle: DuckDB ``md5(text)``)."""
     vals = [

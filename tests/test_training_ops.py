@@ -61,6 +61,27 @@ def test_fingerprints(docs_ds):
     assert len({x["fp_winnow"] for x in w}) > len(w) // 2  # mostly distinct
 
 
+def test_scrub_pii():
+    b = pa.table(
+        {
+            "doc_id": pa.array([1, 2, 3], pa.int64()),
+            "text": pa.array(
+                [
+                    "contact alice@example.com or 1234567890 now",
+                    "no pii here 123",
+                    "two mails a@b.co c@d.org and 999999",
+                ]
+            ),
+        }
+    )
+    out = text.scrub_pii(b).to_pylist()
+    assert out[0]["scrubbed"] == "contact <EMAIL> or <NUM> now"
+    assert out[0]["n_redactions"] == 2
+    assert out[1]["scrubbed"] == "no pii here 123" and out[1]["n_redactions"] == 0
+    assert out[2]["scrubbed"] == "two mails <EMAIL> <EMAIL> and <NUM>"
+    assert out[2]["n_redactions"] == 3
+
+
 def test_exact_dedup_with_planted_dupes(ray_session):
     import ray.data as rd
 
