@@ -49,6 +49,27 @@ def test_bronze_ingest_is_incremental(medallion):
     assert sid is None and new == []  # exactly-once: nothing new to consume
 
 
+def test_bronze_ingest_exactly_once_survives_lineage_loss(medallion):
+    """Crash window between commit and lineage write: the consumed-file set
+    must come from the SNAPSHOT metadata (atomic with the commit), so even
+    with the lineage log gone nothing is re-ingested as duplicates."""
+    import shutil as _shutil
+
+    m, fixtures = medallion
+    from e2e_ocsf_cyber_lakehouse_blueprint_ray.functions.meta import BronzeMeta
+    from e2e_ocsf_cyber_lakehouse_blueprint_ray.sources.jsonl import consumed_files
+
+    t = m.table("bronze_slack_audit_logs")
+    before = consumed_files(t)
+    assert before  # ingested during fixture setup
+    # simulate the lineage record never landing
+    _shutil.rmtree(f"{t.dir}/_lineage", ignore_errors=True)
+    after = consumed_files(t)
+    assert after == before  # recovered from snapshot extra metadata
+    sid, new = ingest_jsonl(t, f"{fixtures}/slack", BronzeMeta("slack"))
+    assert sid is None and new == []
+
+
 def test_silver_typed_extraction(medallion):
     m, _ = medallion
     t = m.table("silver_github_audit_logs")
