@@ -40,36 +40,83 @@ def add_content_hash(batch: pa.Table, *, text_col: str = "text", out_col: str = 
     import polars as pl
 
     h = pl.from_arrow(batch.select([text_col]))[text_col].hash(seed=0)
-    return batch.append_column(out_col, pa.array(h.to_numpy().astype(np.uint64)))
+    # int64 bit-view: bijective with the uint64 hash, and round-trips
+    # through Python rows without overflowing
+    return batch.append_column(
+        out_col, pa.array(h.to_numpy().astype(np.uint64).view(np.int64))
+    )
 
 
 def exact_dedup(ds, *, text_col: str = "text", id_col: str = "doc_id", config: EngineConfig = DEFAULT):
     """Keep the min-id row per distinct text; adds ``dupes`` count.
 
-    hash → shuffle by hash → first-per-group. Returns a Dataset with the
-    surviving rows + dupes.
+    Shape: global ``sort(_h, text, id)`` (range shuffle — balances blocks by
+    ROWS, so a billion-fold duplicated document spans blocks instead of
+    pinning one reducer) → ONE vectorized pass per sorted block emitting
+    per-run survivors+counts (numpy run boundaries, no per-group Python) →
+    runs that touch a block edge (≤ 2 per block, regardless of data size)
+    are merged in a tiny final step. Sub-grouping by the ACTUAL text inside
+    each 64-bit hash run guards against hash collisions merging distinct
+    documents.
     """
+    import ray.data as rd
+
     ds = ds.map_batches(
         add_content_hash, fn_kwargs=dict(text_col=text_col), batch_format="pyarrow",
         batch_size=config.batch_size,
     )
+    sorted_ds = ds.sort(["_h", text_col, id_col])
 
-    def first(g: pa.Table) -> pa.Table:
-        # guard against 64-bit hash collisions: sub-group by the ACTUAL text
-        # within the hash group (the shuffle key stays the 8-byte hash; this
-        # equality check touches only the few rows that collided). One
-        # surviving min-id row per distinct text.
-        idx = pc.sort_indices(
-            g, sort_keys=[(text_col, "ascending"), (id_col, "ascending")]
-        )
-        g = g.take(idx)
-        texts = g[text_col].to_numpy(zero_copy_only=False)
-        starts = np.flatnonzero(np.r_[True, texts[1:] != texts[:-1]])
-        counts = np.diff(np.r_[starts, len(texts)])
-        keep = g.take(pa.array(starts)).drop_columns(["_h"])
-        return keep.append_column("dupes", pa.array(counts, pa.int64()))
+    def block_pass(b: pa.Table) -> pa.Table:
+        # one batch == one sorted block (batch_size=None): a contiguous
+        # range of the global order, so runs are contiguous here and only
+        # the first/last run of the block can continue in a neighbor block
+        if b.num_rows == 0:
+            out = b.append_column("dupes", pa.array([], pa.int64()))
+            return out.append_column("_edge", pa.array([], pa.bool_()))
+        h = b["_h"].to_numpy(zero_copy_only=False)
+        texts = b[text_col].to_numpy(zero_copy_only=False)
+        new_run = np.r_[True, (h[1:] != h[:-1]) | (texts[1:] != texts[:-1])]
+        starts = np.flatnonzero(new_run)
+        counts = np.diff(np.r_[starts, len(h)])
+        surv = b.take(pa.array(starts))  # first row of run = min id (sorted)
+        edge = np.zeros(len(starts), dtype=bool)
+        edge[0] = True
+        edge[-1] = True
+        out = surv.append_column("dupes", pa.array(counts, pa.int64()))
+        return out.append_column("_edge", pa.array(edge))
 
-    return ds.groupby("_h").map_groups(first, batch_format="pyarrow")
+    passed = sorted_ds.map_batches(block_pass, batch_format="pyarrow", batch_size=None)
+
+    def keep_interior(b: pa.Table) -> pa.Table:
+        mask = pc.invert(pc.fill_null(b["_edge"], True))
+        return b.filter(mask).drop_columns(["_h", "_edge"])
+
+    def keep_edge(b: pa.Table) -> pa.Table:
+        return b.filter(pc.fill_null(b["_edge"], True))
+
+    interior = passed.map_batches(keep_interior, batch_format="pyarrow")
+    # edge runs: ≤ 2 per BLOCK — a constant-size driver merge at any data
+    # scale (it grows with block count, not row count)
+    edge_rows = pa.Table.from_pylist(
+        passed.map_batches(keep_edge, batch_format="pyarrow").take_all()
+    )
+    if edge_rows.num_rows == 0:
+        return interior
+    idx = pc.sort_indices(
+        edge_rows, sort_keys=[("_h", "ascending"), (text_col, "ascending"), (id_col, "ascending")]
+    )
+    e = edge_rows.take(idx)
+    eh = e["_h"].to_numpy(zero_copy_only=False)
+    et = e[text_col].to_numpy(zero_copy_only=False)
+    starts = np.flatnonzero(np.r_[True, (eh[1:] != eh[:-1]) | (et[1:] != et[:-1])])
+    dupes = e["dupes"].to_numpy(zero_copy_only=False)
+    sums = np.add.reduceat(dupes, starts)
+    merged = e.take(pa.array(starts)).drop_columns(["_h", "_edge"])
+    merged = merged.set_column(
+        merged.schema.get_field_index("dupes"), "dupes", pa.array(sums, pa.int64())
+    )
+    return interior.union(rd.from_arrow(merged))
 
 
 # -- shingles / minhash ------------------------------------------------------
