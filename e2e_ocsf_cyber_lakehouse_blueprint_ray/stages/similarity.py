@@ -124,6 +124,33 @@ def ivf_prune(
     return vn[keep], bid[keep], allowed_by_cluster[assign[keep]]
 
 
+def add_centroid_assignment(
+    ds,
+    centroids: np.ndarray,
+    *,
+    vec_col: str = "embedding",
+    out_col: str = "centroid",
+    config: EngineConfig = DEFAULT,
+):
+    """Persist each vector's nearest-centroid id as a column — the IVF build
+    step. Written once (e.g. into a table clustered/partitioned by it), it
+    turns every later ``ivf_topk(assign_col=...)`` into pure scan-side work:
+    no per-batch assignment matmul, and with per-file centroid stats the
+    scan prunes whole files for the probed clusters."""
+    import ray
+
+    cent = _normalize(centroids)
+    cref = ray.put(cent)
+
+    def assign(batch: pa.Table) -> pa.Table:
+        c = ray.get(cref)
+        v = np.asarray(batch[vec_col].to_pylist(), dtype=np.float64)
+        a = np.argmax(_normalize(v) @ c.T, axis=1).astype(np.int32)
+        return batch.append_column(out_col, pa.array(a))
+
+    return ds.map_batches(assign, batch_format="pyarrow", batch_size=config.batch_size)
+
+
 def ivf_topk(
     ds,
     queries: np.ndarray,
@@ -135,6 +162,7 @@ def ivf_topk(
     exclude_self: bool = True,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    assign_col: str | None = None,
     config: EngineConfig = DEFAULT,
 ):
     """IVF-style ANN: only rows whose centroid is in SOME query's nprobe
@@ -157,9 +185,19 @@ def ivf_topk(
 
     def local(batch: pa.Table) -> pa.Table:
         qn_, qids, cent_, allowed_ = ray.get(qref)
-        v = np.asarray(batch[vec_col].to_pylist(), dtype=np.float64)
         bid = batch[id_col].to_numpy(zero_copy_only=False).astype(np.int64)
-        vn_s, bid_s, allowed_rows = ivf_prune(_normalize(v), bid, cent_, allowed_)
+        if assign_col is not None and assign_col in batch.schema.names:
+            # precomputed assignment (add_centroid_assignment): prune by the
+            # stored column BEFORE even decoding the pruned-away vectors
+            assign = batch[assign_col].to_numpy(zero_copy_only=False).astype(np.int64)
+            keep = allowed_[assign].any(axis=1)
+            sub = batch.filter(pa.array(keep))
+            vn_s = _normalize(np.asarray(sub[vec_col].to_pylist(), dtype=np.float64)) if sub.num_rows else np.empty((0, qn_.shape[1]))
+            bid_s = bid[keep]
+            allowed_rows = allowed_[assign[keep]]
+        else:
+            v = np.asarray(batch[vec_col].to_pylist(), dtype=np.float64)
+            vn_s, bid_s, allowed_rows = ivf_prune(_normalize(v), bid, cent_, allowed_)
         if len(vn_s) == 0:
             return pa.table(
                 {

@@ -198,6 +198,25 @@ def test_ivf_topk_recall(emb, ray_session):
     assert len(ap & ex) / len(ex) >= 0.5  # recall with half the probes
 
 
+def test_ivf_precomputed_assignment_matches(emb, ray_session):
+    """ivf_topk over a persisted centroid column (the IVF build step) must
+    return exactly what the assign-on-the-fly path returns."""
+    import ray.data as rd
+
+    t, mat, ids = emb
+    cent = similarity.kmeans_fit(mat, 8)
+    q, qi = mat[:3], ids[:3]
+    ds = rd.from_arrow(t)
+    with_assign = similarity.add_centroid_assignment(ds, cent, config=CONF)
+    a = similarity.ivf_topk(
+        with_assign, q, qi, cent, k=5, nprobe=4, assign_col="centroid", config=CONF
+    ).take_all()
+    b = similarity.ivf_topk(rd.from_arrow(t), q, qi, cent, k=5, nprobe=4, config=CONF).take_all()
+    assert sorted(((r["query_id"], r["rank"], r["vec_id"]) for r in a)) == sorted(
+        ((r["query_id"], r["rank"], r["vec_id"]) for r in b)
+    )
+
+
 def test_ivf_actually_prunes(emb):
     """The IVF stage must SKIP the query matmul for rows outside the probed
     clusters — scored-row count strictly below brute force, not a masked
