@@ -238,9 +238,15 @@ class MinHasher:
         text = text.combine_chunks() if isinstance(text, pa.ChunkedArray) else text
         grams, offs = self._token_gram_hashes(text)
         n = len(ids)
-        # (P, G) permuted values, min per row segment (every row has ≥1 gram)
-        phi = ((self.a[:, None] * (grams[None, :] % _MERSENNE)) + self.b[:, None]) % _MERSENNE
-        sig = np.minimum.reduceat(phi, offs[:-1], axis=1)  # (P, n)
+        # permuted values min-reduced per row segment; permutations processed
+        # in small chunks so the transient (chunk, G) matrix stays ~tens of
+        # MB instead of (P, G) hundreds of MB on token-heavy batches
+        gm = grams % _MERSENNE
+        sig = np.empty((len(self.a), n), dtype=np.uint64)
+        for s in range(0, len(self.a), 4):
+            e = min(s + 4, len(self.a))
+            phi = ((self.a[s:e, None] * gm[None, :]) + self.b[s:e, None]) % _MERSENNE
+            sig[s:e] = np.minimum.reduceat(phi, offs[:-1], axis=1)
         # band hashes: polynomial over each band's rows_per_band values
         rpb, bands = self.rows_per_band, self.bands
         band_hash = np.zeros((bands, n), dtype=np.uint64)
