@@ -335,8 +335,34 @@ def minhash_duplicate_pairs(
 
         return cand.map_batches(tag, batch_format="pyarrow")
 
-    # -- stage 3: distributed verify ---------------------------------------
-    pair_rows = cand.take_all()  # candidate pairs only — small by design
+    return verify_candidate_pairs(
+        ds, cand, threshold=threshold, shingle_k=shingle_k,
+        text_col=text_col, id_col=id_col, config=config,
+    )
+
+
+def verify_candidate_pairs(
+    ds,
+    candidates,
+    *,
+    threshold: float,
+    shingle_k: int = 3,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    config: EngineConfig = DEFAULT,
+):
+    """Exact word-k-gram Jaccard over a CANDIDATE pair set, distributed:
+    broadcast the (small) id→pairs index, stream the corpus once emitting
+    (pair_id, shingle-hash list) rows for candidate docs only, join per pair
+    via ``groupby(pair_id)``. The production pairing for ``ngram_jaccard``-
+    style exact verification — per-pair cost instead of per-bucket O(m²),
+    and no text ever leaves its batch. ``candidates`` is a Dataset (or Arrow
+    table) with int64 columns ``a``/``b``."""
+    import ray
+
+    pair_rows = (
+        candidates.to_pylist() if isinstance(candidates, pa.Table) else candidates.take_all()
+    )  # candidate pairs only — small by design
     doc_pairs: dict[int, list[int]] = {}
     for pid, r in enumerate(pair_rows):
         doc_pairs.setdefault(int(r["a"]), []).append(pid)
@@ -490,10 +516,26 @@ def simhash_duplicate_pairs(ds, *, max_hamming: int = 3, id_col: str = "doc_id",
 # -- n-gram jaccard (exact, within candidate groups) -------------------------
 
 
-def ngram_jaccard_pairs(ds, *, group_col: str = "source", threshold: float = 0.5,
-                        shingle_k: int = 3, id_col: str = "doc_id", text_col: str = "text"):
-    """Exact pairwise word-k-gram Jaccard within each group. Production use
-    pairs this with LSH buckets as the group; per-group cost is O(m²)."""
+def ngram_jaccard_pairs(ds, *, group_col: str | None = "source", threshold: float = 0.5,
+                        shingle_k: int = 3, id_col: str = "doc_id", text_col: str = "text",
+                        config: EngineConfig = DEFAULT):
+    """Exact pairwise word-k-gram Jaccard.
+
+    ``group_col=None`` is the PRODUCTION shape: candidates come from
+    MinHash-LSH banding (no explicit grouping column, no per-group O(m²)
+    blowup on an unbounded key) and are verified exactly per pair via
+    ``verify_candidate_pairs``. A named ``group_col`` runs exact all-pairs
+    within each (bounded!) group — demo/diagnostic use.
+    """
+    if group_col is None:
+        cand = minhash_duplicate_pairs(
+            ds, threshold=threshold, shingle_k=shingle_k, verify=False,
+            text_col=text_col, id_col=id_col, config=config,
+        )
+        return verify_candidate_pairs(
+            ds, cand, threshold=threshold, shingle_k=shingle_k,
+            text_col=text_col, id_col=id_col, config=config,
+        )
     k, thr = shingle_k, threshold
 
     def pairwise(g: pa.Table) -> pa.Table:

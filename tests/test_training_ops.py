@@ -146,6 +146,12 @@ def test_ngram_jaccard_pairs(ray_session):
     )
     pairs = dedup.ngram_jaccard_pairs(rd.from_arrow(base), threshold=0.5).take_all()
     assert {(p["a"], p["b"]) for p in pairs} == {(0, 1)}
+    # production shape: LSH candidates + exact per-pair verification
+    lsh_pairs = dedup.ngram_jaccard_pairs(
+        rd.from_arrow(base), group_col=None, threshold=0.5, config=CONF
+    ).take_all()
+    assert {(p["a"], p["b"]) for p in lsh_pairs} == {(0, 1)}
+    assert lsh_pairs[0]["jaccard"] >= 0.5
 
 
 def test_embedding_near_dup_and_topk_match_bruteforce(emb, ray_session):
