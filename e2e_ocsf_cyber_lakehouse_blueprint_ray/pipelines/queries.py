@@ -727,6 +727,29 @@ def q_multimodal_decode(sf_dir: str):
     )
 
 
+def q_multimodal_audio(sf_dir: str):
+    """Audio-analog feature extraction (actor-pool stage over binary
+    payloads): sample rate + duration per clip (RMS/band features are
+    non-SQL; the oracle checks the byte-derived scalars)."""
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+    media = ds.map_batches(multimodal_mod.synthesize_payloads, batch_format="pyarrow")
+    dec = media.map_batches(
+        multimodal_mod.AudioFeatureExtractor, batch_format="pyarrow", batch_size=256, concurrency=2
+    )
+    return dec.map_batches(
+        lambda b: b.select(["media_id", "sample_rate", "duration_s"]), batch_format="pyarrow"
+    )
+
+
+def q_ngram_jaccard_lsh(sf_dir: str):
+    """Production n-gram Jaccard: MinHash-LSH candidates + exact distributed
+    per-pair verification (no grouping column, no per-group O(m²))."""
+    return dedup_mod.ngram_jaccard_pairs(
+        _read(sf_dir, "documents", ["doc_id", "text"]),
+        group_col=None, threshold=0.5, config=CONF,
+    )
+
+
 def q_ann_topk(sf_dir: str):
     t = _pq(sf_dir, "embeddings")
     ids = t["vec_id"].to_numpy(zero_copy_only=False).astype(np.int64)
@@ -1089,6 +1112,8 @@ def queries() -> dict:
         "q_fingerprint_md5": q_fingerprint_md5,
         "q_fingerprint_winnow": q_fingerprint_winnow,
         "q_multimodal_decode": q_multimodal_decode,
+        "q_multimodal_audio": q_multimodal_audio,
+        "q_ngram_jaccard_lsh": q_ngram_jaccard_lsh,
         "q_ann_topk": q_ann_topk,
         "q_ann_ivf": q_ann_ivf,
         "q_embedding_near_dup": q_embedding_near_dup,
@@ -1263,6 +1288,12 @@ def oracle_sql() -> dict:
                    CAST(octet_length(encode(text)) + 8 AS BIGINT) AS n_bytes,
                    CAST(1 + octet_length(encode(text)) % 640 AS INTEGER) AS width,
                    CAST(1 + (octet_length(encode(text)) * 7) % 480 AS INTEGER) AS height
+            FROM documents
+        """,
+        "q_multimodal_audio": """
+            SELECT doc_id AS media_id,
+                   CAST(16000 AS INTEGER) AS sample_rate,
+                   octet_length(encode(text)) / 16000.0 AS duration_s
             FROM documents
         """,
         "q_ann_topk": """

@@ -96,6 +96,57 @@ class ImageDecoder:
         return out.append_column("feature", pa.array(hists, pa.list_(pa.float32())))
 
 
+class AudioFeatureExtractor:
+    """Audio-analog actor-pool stage: payload → (sample_rate, duration_s,
+    rms, band_energy[8]) — an MFCC-ish fixed-width feature row per clip.
+
+    ``use_real_codec=True`` requires soundfile/librosa — absent in this
+    container, so it raises ``NotImplementedError`` (clearly-marked stub);
+    the default path treats the payload body as deterministic int8 PCM at a
+    fake 16 kHz rate, and the feature math (RMS + 8-band energy via a
+    strided fold — a stand-in for a mel filterbank) is real vectorized
+    numpy, so schema / batch-size / actor-pool plumbing are fully exercised.
+    """
+
+    FAKE_RATE = 16_000
+
+    def __init__(self, *, use_real_codec: bool = False, n_bands: int = 8):
+        self.n_bands = n_bands
+        if use_real_codec:
+            try:
+                import soundfile  # noqa: F401
+            except ImportError as e:
+                raise NotImplementedError(
+                    "real audio decode needs soundfile/librosa, which are not "
+                    "installed; use the deterministic fake path"
+                ) from e
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        rates, durs, rms_out, bands_out = [], [], [], []
+        nb = self.n_bands
+        for p in batch["payload"].to_pylist():
+            body = (p or b"")[8:]
+            if not body:
+                rates.append(None)
+                durs.append(None)
+                rms_out.append(None)
+                bands_out.append(None)
+                continue
+            pcm = np.frombuffer(body, dtype=np.int8).astype(np.float64) / 128.0
+            rates.append(self.FAKE_RATE)
+            durs.append(len(pcm) / self.FAKE_RATE)
+            rms_out.append(float(np.sqrt(np.mean(pcm * pcm))))
+            pad = (-len(pcm)) % nb
+            folded = np.pad(pcm, (0, pad)).reshape(nb, -1)
+            e = np.sqrt((folded * folded).mean(axis=1))
+            bands_out.append(e.astype(np.float32).tolist())
+        out = batch.drop_columns(["payload"])
+        out = out.append_column("sample_rate", pa.array(rates, pa.int32()))
+        out = out.append_column("duration_s", pa.array(durs, pa.float64()))
+        out = out.append_column("rms", pa.array(rms_out, pa.float64()))
+        return out.append_column("band_energy", pa.array(bands_out, pa.list_(pa.float32())))
+
+
 class FrameSampler:
     """Video-analog stage: sample ``n_frames`` evenly-spaced byte-slices from
     each payload (real codec would seek keyframes; structure is identical)."""

@@ -262,6 +262,14 @@ def test_multimodal_plumbing(docs_ds, ray_session):
     assert all(sorted(v) == [0, 1, 2] for v in per.values())
     with pytest.raises(NotImplementedError):
         multimodal.ImageDecoder(use_real_codec=True)
+    # audio-analog stage: fake PCM features over the same payload plumbing
+    audio = media.map_batches(
+        multimodal.AudioFeatureExtractor, batch_format="pyarrow", batch_size=64, concurrency=2
+    ).take_all()
+    assert all(r["sample_rate"] == 16000 and len(r["band_energy"]) == 8 for r in audio)
+    assert all(r["duration_s"] > 0 and r["rms"] >= 0 for r in audio)
+    with pytest.raises(NotImplementedError):
+        multimodal.AudioFeatureExtractor(use_real_codec=True)
 
 
 def test_duplicate_clusters_and_representatives(ray_session):
