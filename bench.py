@@ -184,6 +184,7 @@ def run_bench() -> dict:
     # representative operator queries over the testdata tables (skipped in
     # maintenance-only mode, e.g. the --scaling runs on synthetic-only sf)
     qtimes = {}
+    medallion_rate = None
     if not os.environ.get("BENCH_MAINT_ONLY"):
         from e2e_ocsf_cyber_lakehouse_blueprint_ray.pipelines import queries as q
 
@@ -194,6 +195,23 @@ def run_bench() -> dict:
             if hasattr(res, "materialize"):
                 res.materialize()
             qtimes[name] = round(time.time() - tq, 3)
+
+        # medallion end-to-end rate (the reference's own pipeline shape):
+        # bronze ingest -> silver extract -> 15 per-class gold flows
+        from e2e_ocsf_cyber_lakehouse_blueprint_ray import config as _cfg2, synth
+        from e2e_ocsf_cyber_lakehouse_blueprint_ray.pipelines.medallion import Medallion
+
+        n_events = int(os.environ.get("BENCH_MEDALLION_EVENTS", "2000"))
+        med_root = f"{work_root}/bench-medallion-{os.getpid()}"
+        shutil.rmtree(med_root, ignore_errors=True)
+        synth.write_audit_fixture(f"{med_root}/raw", n_per_source=n_events, files_per_source=8)
+        m = Medallion(f"{med_root}/tables", _cfg2.test_config())
+        tm = time.time()
+        m.run_all(f"{med_root}/raw", use_actor_gold=True)
+        dt_med = time.time() - tm
+        qtimes["medallion_all"] = round(dt_med, 3)
+        medallion_rate = round(3 * n_events / dt_med, 1)
+        shutil.rmtree(med_root, ignore_errors=True)
     qtimes.update(
         {
             "maint_compact": round(t_compact, 3),
@@ -214,6 +232,8 @@ def run_bench() -> dict:
         "scanned_rows": scanned,
         "turns_per_sec": round(n_rows * 3 / headline, 1),
     }
+    if medallion_rate is not None:
+        out["medallion_events_per_sec"] = medallion_rate
     ray.shutdown()
     return out
 

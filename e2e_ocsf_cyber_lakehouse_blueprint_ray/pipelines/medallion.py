@@ -134,7 +134,10 @@ class Medallion:
         new_files = self._new_upstream_files(upstream, downstream, tag)
         if not new_files:
             return None
-        ds = rd.read_parquet(sorted(new_files))
+        from ..table import DATASET_CONSTRUCT_LOCK
+
+        with DATASET_CONSTRUCT_LOCK:
+            ds = rd.read_parquet(sorted(new_files))
         out = ds.map_batches(
             transform,
             batch_format="pyarrow",
@@ -166,20 +169,41 @@ class Medallion:
 
     # -- entry points ----------------------------------------------------
 
-    def run_bronze(self, fixture_root: str, *, use_actor: bool = False) -> dict[str, int | None]:
-        out = {}
-        for src in SOURCES:
-            t = self.table(f"bronze_{src}_audit_logs")
-            sid, _ = ingest_jsonl(t, os.path.join(fixture_root, src), BronzeMeta(src), use_actor=use_actor)
-            out[src] = sid
-        return out
+    @staticmethod
+    def _run_parallel(jobs: dict, parallel: bool) -> dict:
+        """Run {key: thunk} concurrently (driver threads, one Ray streaming
+        job each — the reference's N-concurrent-flows execution shape) or
+        sequentially."""
+        if not parallel or len(jobs) <= 1:
+            return {k: fn() for k, fn in jobs.items()}
+        from concurrent.futures import ThreadPoolExecutor
 
-    def run_silver(self, *, use_actor: bool = False) -> dict[str, int | None]:
+        with ThreadPoolExecutor(max_workers=len(jobs)) as ex:
+            futs = {k: ex.submit(fn) for k, fn in jobs.items()}
+            return {k: f.result() for k, f in futs.items()}
+
+    def run_bronze(
+        self, fixture_root: str, *, use_actor: bool = False, parallel: bool = True
+    ) -> dict[str, int | None]:
+        def job(src):
+            def run():
+                t = self.table(f"bronze_{src}_audit_logs")
+                sid, _ = ingest_jsonl(
+                    t, os.path.join(fixture_root, src), BronzeMeta(src), use_actor=use_actor
+                )
+                return sid
+
+            return run
+
+        return self._run_parallel({src: job(src) for src in SOURCES}, parallel)
+
+    def run_silver(
+        self, *, use_actor: bool = False, parallel: bool = True
+    ) -> dict[str, int | None]:
         from ..functions.variant import silver_schema
 
-        out = {}
-        for src in SOURCES:
-            out[src] = self._run_flow(
+        def job(src):
+            return lambda: self._run_flow(
                 self.table(f"bronze_{src}_audit_logs"),
                 self.table(f"silver_{src}_audit_logs"),
                 f"silver-{src}",
@@ -188,23 +212,26 @@ class Medallion:
                 evolve=True,
                 schema=silver_schema(src),
             )
-        return out
+
+        return self._run_parallel({src: job(src) for src in SOURCES}, parallel)
 
     def run_gold(
-        self, *, use_actor: bool = True, union: bool = False
+        self, *, use_actor: bool = True, union: bool = False, parallel: bool = True
     ) -> dict[tuple[str, str], int | None]:
-        """15 flows → 6 sinks; commits serialized per sink by its metastore
-        actor (multi-writer path, S5). ``union=True`` takes the S6
-        alternative shape: per class, ``Dataset.union`` the 3 per-source
-        transformed streams and append once (one commit per sink instead of
-        three)."""
+        """15 flows → 6 sinks, launched CONCURRENTLY like the reference's 15
+        ``@append_flow`` streams in one pipeline; commits to a shared sink
+        are serialized by its metastore actor (multi-writer path, S5) — or
+        by the flock'd optimistic file protocol when ``use_actor=False``.
+        ``union=True`` takes the S6 alternative shape: per class,
+        ``Dataset.union`` the 3 per-source transformed streams and append
+        once (one commit per sink instead of three)."""
         from ..functions.ocsf import class_schema
 
         if union:
             return self._run_gold_union(use_actor=use_actor)
-        out = {}
-        for src, cls in flows():
-            out[(src, cls)] = self._run_flow(
+
+        def job(src, cls):
+            return lambda: self._run_flow(
                 self.table(f"silver_{src}_audit_logs"),
                 self.table(GOLD_TABLES[cls]),
                 f"gold-{src}-{cls}",
@@ -213,7 +240,10 @@ class Medallion:
                 evolve=True,
                 schema=class_schema(cls),
             )
-        return out
+
+        return self._run_parallel(
+            {(src, cls): job(src, cls) for src, cls in flows()}, parallel
+        )
 
     def _run_gold_union(self, *, use_actor: bool) -> dict[tuple[str, str], int | None]:
         import ray.data as rd

@@ -75,8 +75,11 @@ def ingest_jsonl(
 
     import ray.data as rd
 
+    from ..table import DATASET_CONSTRUCT_LOCK
+
     cfg = table.config
-    ds = rd.read_text(new, include_paths=True)
+    with DATASET_CONSTRUCT_LOCK:
+        ds = rd.read_text(new, include_paths=True)
     out = ds.map_batches(
         transform,
         batch_format="pyarrow",

@@ -36,6 +36,16 @@ from .state import lineage, manifest
 
 _PQ_OPTS = dict(compression="zstd", compression_level=3)
 
+#: serializes ray.data.read_* CONSTRUCTION (not execution) when flows run in
+#: driver threads: Ray's path resolution lazily imports optional fsspec
+#: filesystems, and a concurrent first import can leave a partial module in
+#: sys.modules, turning the normally-caught ModuleNotFoundError into a
+#: propagating ImportError. Construction is milliseconds; execution — the
+#: actual streaming job — stays fully concurrent.
+import threading
+
+DATASET_CONSTRUCT_LOCK = threading.Lock()
+
 
 class ConflictError(RuntimeError):
     """A concurrent commit removed files this commit depends on."""
