@@ -305,6 +305,30 @@ def test_gold_union_mode_equals_flow_mode(tmp_path_factory, ray_session):
         assert a == b, cls
 
 
+def test_gold_parallel_file_protocol_matches_actor_path(tmp_path_factory, ray_session):
+    """15 concurrent gold flows through the flock'd FILE-based optimistic
+    commit protocol (use_actor=False, parallel=True) — shared sinks receive
+    2-3 racing committers and must converge to the same counts as the
+    actor-serialized path."""
+    root = tmp_path_factory.mktemp("medallion_par")
+    fixtures = str(root / "raw")
+    synth.write_audit_fixture(fixtures, n_per_source=60)
+    m = Medallion(str(root / "a"), cfg.test_config())
+    m.setup()
+    m.run_bronze(fixtures)
+    m.run_silver()
+    m.run_gold(use_actor=False, parallel=True)
+    m2 = Medallion(str(root / "b"), cfg.test_config())
+    m2.setup()
+    m2.run_bronze(fixtures)
+    m2.run_silver()
+    m2.run_gold(use_actor=True, parallel=False)
+    for cls, name in GOLD_TABLES.items():
+        a = m.table(name).read_arrow(columns=["class_uid"]).num_rows
+        b = m2.table(name).read_arrow(columns=["class_uid"]).num_rows
+        assert a == b, cls
+
+
 def test_summary_query(medallion):
     m, _ = medallion
     s = m.summary()
