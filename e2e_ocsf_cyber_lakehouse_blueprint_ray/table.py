@@ -23,6 +23,7 @@ from __future__ import annotations
 
 import json
 import os
+import threading
 import time
 
 import numpy as np
@@ -42,8 +43,6 @@ _PQ_OPTS = dict(compression="zstd", compression_level=3)
 #: sys.modules, turning the normally-caught ModuleNotFoundError into a
 #: propagating ImportError. Construction is milliseconds; execution — the
 #: actual streaming job — stays fully concurrent.
-import threading
-
 DATASET_CONSTRUCT_LOCK = threading.Lock()
 
 
