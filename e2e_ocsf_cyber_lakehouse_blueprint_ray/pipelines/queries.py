@@ -30,6 +30,7 @@ from ..stages import cluster as cluster_mod
 from ..stages import compact as compact_mod
 from ..stages import dedup as dedup_mod
 from ..stages import expire as expire_mod
+from ..stages import joins as joins_mod
 from ..stages import merge as merge_mod
 from ..stages import similarity as similarity_mod
 from ..stages import text as text_mod
@@ -501,6 +502,66 @@ def q_events_sessionize(sf_dir: str):
         )
 
     return segs.groupby("user_id").map_groups(combine, batch_format="pyarrow")
+
+
+def _orders_asof_right(sf_dir: str) -> pa.Table:
+    """orders deduped per (o_custkey, o_orderdate) via max(o_orderkey) so
+    as-of ties resolve identically in every engine."""
+    orders = _pq(sf_dir, "orders", ["o_custkey", "o_orderdate", "o_orderkey"])
+    r = orders.group_by(["o_custkey", "o_orderdate"]).aggregate([("o_orderkey", "max")])
+    r = r.rename_columns(["o_custkey", "o_orderdate", "last_orderkey"])
+    return r.append_column("last_orderdate", r["o_orderdate"])
+
+
+def q_asof_orders(sf_dir: str):
+    """As-of join (backward): each event picks the same user's most recent
+    order at-or-before the event ts. Broadcast composite-rank index
+    (stages/joins.py) — the fact side never shuffles."""
+    ev = _read(sf_dir, "events", ["event_id", "user_id", "ts"])
+    return joins_mod.asof_join(
+        ev, _orders_asof_right(sf_dir), key="user_id", ts="ts",
+        right_key="o_custkey", right_ts="o_orderdate",
+        payload=["last_orderkey", "last_orderdate"])
+
+
+def q_asof_orders_part(sf_dir: str):
+    """Same as-of join through the large-right shuffle path: distributed
+    per-(key, ts) dedup of orders, then tag + union + co-group by key
+    (joins.asof_join_partitioned). Same oracle as q_asof_orders."""
+    import ray.data as rd
+
+    orders = _read(sf_dir, "orders", ["o_custkey", "o_orderdate", "o_orderkey"])
+    r = orders.groupby(["o_custkey", "o_orderdate"]).max("o_orderkey")
+
+    def shape(b: pa.Table) -> pa.Table:
+        b = b.set_column(b.schema.get_field_index("max(o_orderkey)"),
+                         "last_orderkey", b["max(o_orderkey)"])
+        return b.append_column("last_orderdate", b["o_orderdate"]) \
+                .rename_columns(["user_id", "ts", "last_orderkey", "last_orderdate"])
+
+    right = r.map_batches(shape, batch_format="pyarrow")
+    ev = _read(sf_dir, "events", ["event_id", "user_id", "ts"])
+    out = joins_mod.asof_join_partitioned(
+        ev, right, key="user_id", ts="ts",
+        payload=["last_orderkey", "last_orderdate"])
+    return out.map_batches(
+        lambda b: b.select(["event_id", "user_id", "ts", "last_orderkey", "last_orderdate"]),
+        batch_format="pyarrow")
+
+
+def q_events_window_stats(sf_dir: str):
+    """Interval self-join, pre-aggregated: per event, the count and exact
+    cents sum of the same user's events in the trailing hour [ts-1h, ts]
+    (inclusive, so every event counts itself). Prefix-sum segmented sums —
+    no pair expansion even when windows overlap heavily."""
+    right = _pq(sf_dir, "events", ["user_id", "ts", "value"])
+    val_c = pa.array(_cents(right["value"].to_numpy(zero_copy_only=False), 100))
+    right = right.drop_columns(["value"]).append_column("val_c", val_c)
+    ev = _read(sf_dir, "events", ["event_id", "user_id", "ts"])
+    return joins_mod.interval_join_agg(
+        ev, right, key="user_id", ts="ts",
+        before_us=3_600_000_000, after_us=0, sum_cols=("val_c",),
+        keep_cols=["event_id"])
 
 
 # ---------------------------------------------------------------------------
@@ -1089,6 +1150,9 @@ def queries() -> dict:
         "q_events_gold_route": q_events_gold_route,
         "q_orders_top_per_customer": q_orders_top_per_customer,
         "q_events_sessionize": q_events_sessionize,
+        "q_asof_orders": q_asof_orders,
+        "q_asof_orders_part": q_asof_orders_part,
+        "q_events_window_stats": q_events_window_stats,
         "q_part_type_stats": q_part_type_stats,
         "q_supplier_nation": q_supplier_nation,
         "q_medallion_gold": q_medallion_gold,
@@ -1223,6 +1287,34 @@ def oracle_sql() -> dict:
                      epoch(ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)) AS gap
               FROM events
             ) GROUP BY user_id
+        """,
+        "q_asof_orders": """
+            WITH r AS (
+              SELECT o_custkey, o_orderdate, MAX(o_orderkey) AS last_orderkey
+              FROM orders GROUP BY 1, 2
+            )
+            SELECT e.event_id, e.user_id, e.ts,
+                   r.last_orderkey, r.o_orderdate AS last_orderdate
+            FROM events e ASOF LEFT JOIN r
+              ON e.user_id = r.o_custkey AND e.ts >= r.o_orderdate
+        """,
+        "q_asof_orders_part": """
+            WITH r AS (
+              SELECT o_custkey, o_orderdate, MAX(o_orderkey) AS last_orderkey
+              FROM orders GROUP BY 1, 2
+            )
+            SELECT e.event_id, e.user_id, e.ts,
+                   r.last_orderkey, r.o_orderdate AS last_orderdate
+            FROM events e ASOF LEFT JOIN r
+              ON e.user_id = r.o_custkey AND e.ts >= r.o_orderdate
+        """,
+        "q_events_window_stats": """
+            SELECT a.event_id, COUNT(*) AS n_win,
+                   CAST(SUM(CAST(FLOOR(b.value * 100 + 0.5) AS BIGINT)) AS BIGINT) AS sum_val_c
+            FROM events a JOIN events b
+              ON a.user_id = b.user_id
+             AND b.ts BETWEEN a.ts - INTERVAL 1 HOUR AND a.ts
+            GROUP BY a.event_id
         """,
         "q_part_type_stats": """
             SELECT p_type, COUNT(*) AS n,

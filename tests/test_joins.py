@@ -1,0 +1,145 @@
+"""As-of / interval join kernels (stages/joins.py): the composite-rank
+probe against a brute-force reference, the broadcast Dataset stage against
+DuckDB's ASOF JOIN, and partitioned-path equivalence."""
+
+import numpy as np
+import pyarrow as pa
+import pytest
+
+from e2e_ocsf_cyber_lakehouse_blueprint_ray.stages import joins
+
+
+def _brute_asof(rk, rts, lk, lt, direction, strict, tol):
+    out = []
+    for k, t in zip(lk, lt):
+        cand = [
+            (ts, i) for i, (k2, ts) in enumerate(zip(rk, rts))
+            if k2 == k and (
+                (ts < t if strict else ts <= t) if direction == "backward"
+                else (ts > t if strict else ts >= t))
+            and (tol is None or abs(t - ts) <= tol)
+        ]
+        if not cand:
+            out.append(None)
+        elif direction == "backward":
+            out.append(max(cand)[0])
+        else:
+            out.append(min(cand)[0])
+    return out
+
+
+@pytest.mark.parametrize("direction", ["backward", "forward"])
+@pytest.mark.parametrize("strict", [False, True])
+@pytest.mark.parametrize("tol", [None, 5])
+def test_asof_probe_matches_bruteforce(direction, strict, tol):
+    rng = np.random.default_rng(7)
+    n_r, n_l = 200, 300
+    rk = rng.integers(0, 12, n_r)
+    rts = rng.integers(0, 50, n_r)
+    right = pa.table({"k": pa.array(rk, pa.int64()), "ts": pa.array(rts, pa.int64()),
+                      "v": pa.array(rts * 10, pa.int64())})
+    ix = joins.build_index(right, "k", "ts", ["v"])
+    lk = rng.integers(0, 14, n_l)  # includes keys absent from the right
+    lt = rng.integers(-5, 55, n_l)
+    ok, idx = joins.asof_probe(ix, lk, lt, direction=direction,
+                               tolerance_us=tol, strict=strict)
+    expect = _brute_asof(rk, rts, lk, lt, direction, strict, tol)
+    got = [int(ix.rts[i]) if o else None for o, i in zip(ok, idx)]
+    assert got == expect
+
+
+def test_interval_probe_matches_bruteforce():
+    rng = np.random.default_rng(11)
+    rk = rng.integers(0, 8, 150)
+    rts = rng.integers(0, 40, 150)
+    vals = rng.integers(0, 100, 150)
+    right = pa.table({"k": pa.array(rk, pa.int64()), "ts": pa.array(rts, pa.int64()),
+                      "v": pa.array(vals, pa.int64())})
+    ix = joins.build_index(right, "k", "ts", ["v"])
+    lk = rng.integers(0, 10, 200)
+    lt = rng.integers(0, 45, 200)
+    lo, hi = joins.interval_probe(ix, lk, lt, before_us=7, after_us=3)
+    sums = joins.segment_sums(lo, hi, ix.payload["v"])
+    li, ri = joins.expand_pairs(lo, hi)
+    for row, (k, t) in enumerate(zip(lk, lt)):
+        match = [(int(v)) for k2, ts, v in zip(rk, rts, vals)
+                 if k2 == k and t - 7 <= ts <= t + 3]
+        assert hi[row] - lo[row] == len(match)
+        assert sums[row] == sum(match)
+        pair_vals = sorted(int(ix.payload["v"][i]) for i in ri[li == row])
+        assert pair_vals == sorted(match)
+
+
+def _mk_tables(seed=3):
+    rng = np.random.default_rng(seed)
+    n_l, n_r = 400, 120
+    left = pa.table({
+        "id": pa.array(np.arange(n_l), pa.int64()),
+        "k": pa.array(rng.integers(0, 15, n_l), pa.int64()),
+        "ts": pa.array(rng.integers(0, 10_000, n_l), pa.int64()).cast(pa.timestamp("us")),
+    })
+    # dedupe right per (k, ts) so as-of ties are engine-independent
+    right = pa.table({
+        "k": pa.array(rng.integers(0, 12, n_r), pa.int64()),
+        "ts": pa.array(rng.integers(0, 10_000, n_r), pa.int64()).cast(pa.timestamp("us")),
+        "payload": pa.array(rng.integers(0, 10**6, n_r), pa.int64()),
+    }).group_by(["k", "ts"]).aggregate([("payload", "max")]).rename_columns(
+        ["k", "ts", "payload"])
+    return left, right
+
+
+def test_asof_join_broadcast_matches_duckdb(ray_session):
+    import duckdb
+    import ray.data as rd
+
+    left, right = _mk_tables()
+    out = joins.asof_join(rd.from_arrow(left), right, key="k", ts="ts",
+                          payload=["payload"]).to_pandas().sort_values("id", ignore_index=True)
+    con = duckdb.connect()
+    con.register("l", left)
+    con.register("r", right)
+    exp = con.execute("""
+        SELECT l.id, l.k, l.ts, r.payload
+        FROM l ASOF LEFT JOIN r ON l.k = r.k AND l.ts >= r.ts
+        ORDER BY l.id
+    """).df()
+    assert out["payload"].fillna(-1).tolist() == exp["payload"].fillna(-1).tolist()
+
+
+def test_asof_partitioned_equals_broadcast(ray_session):
+    import ray.data as rd
+
+    left, right = _mk_tables(seed=9)
+    bcast = joins.asof_join(rd.from_arrow(left), right, key="k", ts="ts",
+                            payload=["payload"]).to_pandas()
+    part = joins.asof_join_partitioned(
+        rd.from_arrow(left), rd.from_arrow(right), key="k", ts="ts",
+        payload=["payload"]).to_pandas()
+    bcast = bcast.sort_values("id", ignore_index=True)
+    part = part[bcast.columns].sort_values("id", ignore_index=True)
+    assert part["payload"].fillna(-1).tolist() == bcast["payload"].fillna(-1).tolist()
+    assert len(part) == len(bcast)
+
+
+def test_interval_join_agg_stage(ray_session):
+    import ray.data as rd
+
+    rng = np.random.default_rng(5)
+    n = 300
+    ev = pa.table({
+        "id": pa.array(np.arange(n), pa.int64()),
+        "k": pa.array(rng.integers(0, 6, n), pa.int64()),
+        "ts": pa.array(rng.integers(0, 500, n), pa.int64()),
+        "v": pa.array(rng.integers(0, 50, n), pa.int64()),
+    })
+    out = joins.interval_join_agg(
+        rd.from_arrow(ev.select(["id", "k", "ts"])), ev.select(["k", "ts", "v"]),
+        key="k", ts="ts", before_us=20, after_us=0, sum_cols=("v",),
+        keep_cols=["id"]).to_pandas().sort_values("id", ignore_index=True)
+    kk = ev["k"].to_numpy()
+    tt = ev["ts"].to_numpy()
+    vv = ev["v"].to_numpy()
+    for row in range(0, n, 37):
+        m = (kk == kk[row]) & (tt >= tt[row] - 20) & (tt <= tt[row])
+        assert out["n_win"][row] == m.sum()
+        assert out["sum_v"][row] == vv[m].sum()
