@@ -3,6 +3,7 @@ from . import (  # noqa: F401
     compact,
     dedup,
     expire,
+    joins,
     merge,
     multimodal,
     optimize,
