@@ -137,7 +137,7 @@ def run_bench() -> dict:
 
     # repeat the timed sequence and keep the fastest (shared-host noise is
     # ±30%; each repeat rebuilds the small-file layout untimed)
-    repeats = int(os.environ.get("BENCH_REPEAT", "2"))
+    repeats = int(os.environ.get("BENCH_REPEAT", "3"))
     best = None
     for rep in range(max(1, repeats)):
         if rep > 0:

@@ -81,11 +81,12 @@ def merge(
     ents = table.entries(parent)
     by_path = {r["path"]: r for r in ents.to_pylist()}
 
-    # split source rows by target partition (driver-side: source is small)
-    src_parts = table.partition_values(source)
-    part_order = np.argsort(src_parts, kind="stable")
+    # split source rows by target partition (driver-side: source is small;
+    # int partition codes keep the sort/slice fully vectorized)
+    src_codes, part_names = table.partition_codes(source)
+    part_order = np.argsort(src_codes, kind="stable")
     src_sorted = source.take(pa.array(part_order))
-    sp = src_parts[part_order]
+    sp = src_codes[part_order]
     bounds = np.flatnonzero(np.r_[True, sp[1:] != sp[:-1]]) if len(sp) else np.array([], int)
 
     delete_keys: dict[str, pa.Array] = {}
@@ -93,7 +94,7 @@ def merge(
     conv_ranges: dict[str, tuple[str, str]] = {}
     for i, b in enumerate(bounds):
         e = bounds[i + 1] if i + 1 < len(bounds) else len(sp)
-        part = str(sp[b])
+        part = str(part_names[sp[b]])
         chunk = src_sorted.slice(b, e - b)
         delete_keys[part] = _key_array(chunk)  # all source keys leave the target
         ups = chunk.filter(pc.not_equal(chunk["op"], "delete")).drop_columns(["op"])

@@ -137,20 +137,34 @@ class Table:
 
     # -- partitioning -------------------------------------------------------
 
-    def partition_values(self, batch: pa.Table) -> np.ndarray:
-        """Partition dir name per row (object ndarray of strings)."""
+    def partition_codes(self, batch: pa.Table) -> tuple[np.ndarray, np.ndarray]:
+        """(int code per row, dir name per code). Codes keep the hot paths
+        vectorized: int argsort + one formatted name per DISTINCT partition,
+        never a Python string per row."""
         spec = self.partition_spec()
         if spec == "none":
-            return np.full(batch.num_rows, "", dtype=object)
+            return np.zeros(batch.num_rows, np.int64), np.array([""], dtype=object)
         kind, _, rest = spec.partition(":")
         if kind == "hash":
             col, _, p = rest.partition(":")
-            parts = hash64_column(batch[col]) % np.uint64(int(p))
-            return np.array([f"part-{int(v)}" for v in parts], dtype=object)
+            n = int(p)
+            codes = (hash64_column(batch[col]) % np.uint64(n)).astype(np.int64)
+            names = np.array([f"part-{i}" for i in range(n)], dtype=object)
+            return codes, names
         if kind == "col":
-            vals = batch[rest].cast(pa.string()).to_numpy(zero_copy_only=False)
-            return np.array([f"{rest}-{v}" for v in vals], dtype=object)
+            vals = batch[rest].cast(pa.string()).combine_chunks()
+            dic = vals.dictionary_encode()
+            uniq = dic.dictionary.to_pylist()
+            idx = dic.indices.fill_null(len(uniq))  # nulls -> extra trailing code
+            codes = idx.to_numpy(zero_copy_only=False).astype(np.int64)
+            names = np.array([f"{rest}-{u}" for u in uniq] + [f"{rest}-None"], dtype=object)
+            return codes, names
         raise ValueError(f"bad partition spec {spec!r}")
+
+    def partition_values(self, batch: pa.Table) -> np.ndarray:
+        """Partition dir name per row (object ndarray of strings)."""
+        codes, names = self.partition_codes(batch)
+        return names[codes]
 
     # -- read path ----------------------------------------------------------
 
@@ -225,17 +239,17 @@ class Table:
         )
 
     def split_by_partition(self, batch: pa.Table) -> dict[str, pa.Table]:
-        parts = self.partition_values(batch)
-        if len(parts) == 0:
+        codes, names = self.partition_codes(batch)
+        if len(codes) == 0:
             return {}
-        order = np.argsort(parts, kind="stable")
-        sorted_parts = parts[order]
-        bounds = np.flatnonzero(np.r_[True, sorted_parts[1:] != sorted_parts[:-1]])
+        order = np.argsort(codes, kind="stable")  # int sort, not string sort
+        sorted_codes = codes[order]
+        bounds = np.flatnonzero(np.r_[True, sorted_codes[1:] != sorted_codes[:-1]])
         out = {}
         taken = batch.take(pa.array(order))
         for i, b in enumerate(bounds):
-            e = bounds[i + 1] if i + 1 < len(bounds) else len(sorted_parts)
-            out[str(sorted_parts[b])] = taken.slice(b, e - b)
+            e = bounds[i + 1] if i + 1 < len(bounds) else len(sorted_codes)
+            out[str(names[sorted_codes[b]])] = taken.slice(b, e - b)
         return out
 
     def write_table(
