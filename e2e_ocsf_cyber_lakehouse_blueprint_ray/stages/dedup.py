@@ -86,7 +86,12 @@ def exact_dedup(ds, *, text_col: str = "text", id_col: str = "doc_id", config: E
         out = surv.append_column("dupes", pa.array(counts, pa.int64()))
         return out.append_column("_edge", pa.array(edge))
 
-    passed = sorted_ds.map_batches(block_pass, batch_format="pyarrow", batch_size=None)
+    # materialize ONCE: both the interior filter and the edge merge consume
+    # this dataset, and without the pin Ray re-executes the hash+sort
+    # pipeline per consumer (measured 2× wall). Size is the survivor set
+    # (one row per distinct doc) — already shuffle-materialized by the sort,
+    # and the object store spills if it exceeds memory.
+    passed = sorted_ds.map_batches(block_pass, batch_format="pyarrow", batch_size=None).materialize()
 
     def keep_interior(b: pa.Table) -> pa.Table:
         mask = pc.invert(pc.fill_null(b["_edge"], True))

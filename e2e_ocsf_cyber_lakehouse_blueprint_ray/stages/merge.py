@@ -115,11 +115,12 @@ def merge(
     removed: list[str] = []
     params = _source_hash(source)
     bin_cap = max(table.config.target_file_bytes, 1)
+    files_by_part: dict[str, list[dict]] = {}
+    for r in by_path.values():
+        files_by_part.setdefault(r["partition"], []).append(r)
     for part, (lo, hi) in sorted(conv_ranges.items()):
         touched = []
-        for r in by_path.values():
-            if r["partition"] != part:
-                continue
+        for r in files_by_part.get(part, ()):
             st = json.loads(r["stats"]) if r["stats"] else {}
             cs = st.get("conv_id") or {}
             cmin, cmax = cs.get("min"), cs.get("max")
