@@ -37,6 +37,7 @@ BENCH_QUERIES = [
     "q_dedup_exact",
     "q_lang_id",
     "q_ann_topk",
+    "q_asof_orders",
 ]
 
 
