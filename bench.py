@@ -202,7 +202,10 @@ def run_bench() -> dict:
         from e2e_ocsf_cyber_lakehouse_blueprint_ray import config as _cfg2, synth
         from e2e_ocsf_cyber_lakehouse_blueprint_ray.pipelines.medallion import Medallion
 
-        n_events = int(os.environ.get("BENCH_MEDALLION_EVENTS", "2000"))
+        # 20k/source: below ~5k the 17-concurrent-flow fixed overhead
+        # dominates and the rate reads 10× low (measured 500 ev/s at 2k vs
+        # 6.3k ev/s at 20k — with LOWER wall time at 20k)
+        n_events = int(os.environ.get("BENCH_MEDALLION_EVENTS", "20000"))
         med_root = f"{work_root}/bench-medallion-{os.getpid()}"
         shutil.rmtree(med_root, ignore_errors=True)
         synth.write_audit_fixture(f"{med_root}/raw", n_per_source=n_events, files_per_source=8)
