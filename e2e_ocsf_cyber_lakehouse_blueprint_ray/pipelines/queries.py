@@ -31,6 +31,7 @@ from ..stages import compact as compact_mod
 from ..stages import dedup as dedup_mod
 from ..stages import expire as expire_mod
 from ..stages import joins as joins_mod
+from ..stages import sketch as sketch_mod
 from ..stages import merge as merge_mod
 from ..stages import similarity as similarity_mod
 from ..stages import text as text_mod
@@ -562,6 +563,23 @@ def q_events_window_stats(sf_dir: str):
         ev, right, key="user_id", ts="ts",
         before_us=3_600_000_000, after_us=0, sum_cols=("val_c",),
         keep_cols=["event_id"])
+
+
+def q_value_quantiles(sf_dir: str):
+    """Exact per-event-type discrete quantiles of ``value`` — stored doubles
+    picked (not arithmetic), so they hash identically to the SQL side."""
+    ds = _read(sf_dir, "events", ["event_type", "value"])
+    return sketch_mod.group_quantiles_disc(ds, "event_type", "value")
+
+
+def q_distinct_docs_hll(sf_dir: str):
+    """HyperLogLog distinct-count of document texts: mergeable 2^14-byte
+    per-batch partials, O(blocks) bytes to the final combine — the
+    no-shuffle shape for COUNT(DISTINCT) at 10^12 rows. Deterministic
+    estimate (rows-only: no SQL engine computes the same sketch);
+    accuracy bound asserted in tests/test_sketch.py."""
+    ds = _read(sf_dir, "documents", ["text"])
+    return sketch_mod.distinct_count_hll(ds, "text")
 
 
 # ---------------------------------------------------------------------------
@@ -1153,6 +1171,8 @@ def queries() -> dict:
         "q_asof_orders": q_asof_orders,
         "q_asof_orders_part": q_asof_orders_part,
         "q_events_window_stats": q_events_window_stats,
+        "q_value_quantiles": q_value_quantiles,
+        "q_distinct_docs_hll": q_distinct_docs_hll,
         "q_part_type_stats": q_part_type_stats,
         "q_supplier_nation": q_supplier_nation,
         "q_medallion_gold": q_medallion_gold,
@@ -1315,6 +1335,13 @@ def oracle_sql() -> dict:
               ON a.user_id = b.user_id
              AND b.ts BETWEEN a.ts - INTERVAL 1 HOUR AND a.ts
             GROUP BY a.event_id
+        """,
+        "q_value_quantiles": """
+            SELECT event_type,
+                   quantile_disc(value, 0.50) AS p50,
+                   quantile_disc(value, 0.95) AS p95,
+                   quantile_disc(value, 0.99) AS p99
+            FROM events GROUP BY event_type
         """,
         "q_part_type_stats": """
             SELECT p_type, COUNT(*) AS n,

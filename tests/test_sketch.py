@@ -1,0 +1,56 @@
+"""HyperLogLog sketch + exact group quantiles (stages/sketch.py)."""
+
+import numpy as np
+import pyarrow as pa
+
+from e2e_ocsf_cyber_lakehouse_blueprint_ray.stages import sketch
+
+
+def test_hll_error_bound():
+    # 200k distinct int64 values; p=14 -> sigma ~0.81%, assert within 3 sigma
+    vals = pa.table({"x": pa.array(np.arange(200_000, dtype=np.int64))})
+    reg = sketch.hll_registers(sketch._hash64(vals["x"]), p=14)
+    est = sketch.hll_estimate(reg)
+    assert abs(est / 200_000 - 1.0) < 0.025
+
+
+def test_hll_merge_equals_single_pass():
+    rng = np.random.default_rng(3)
+    vals = rng.integers(0, 10**12, 50_000)
+    h = sketch._hash64(pa.table({"x": pa.array(vals)})["x"])
+    whole = sketch.hll_registers(h, p=12)
+    parts = [sketch.hll_registers(h[i::4], p=12) for i in range(4)]
+    assert np.array_equal(sketch.hll_merge(parts), whole)
+
+
+def test_hll_small_range_linear_counting():
+    vals = pa.table({"x": pa.array(np.arange(300, dtype=np.int64))})
+    reg = sketch.hll_registers(sketch._hash64(vals["x"]), p=14)
+    est = sketch.hll_estimate(reg)
+    assert abs(est - 300) < 10  # linear-counting regime is near-exact here
+
+
+def test_distinct_count_hll_dataset(ray_session):
+    import ray.data as rd
+
+    t = pa.table({"k": pa.array(np.arange(20_000, dtype=np.int64) % 5_000)})
+    out = sketch.distinct_count_hll(rd.from_arrow(t), "k")
+    est = out["n_distinct_est"][0].as_py()
+    assert abs(est / 5_000 - 1.0) < 0.03
+
+
+def test_group_quantiles_disc(ray_session):
+    import ray.data as rd
+
+    rng = np.random.default_rng(7)
+    g = rng.integers(0, 4, 2_000)
+    v = rng.normal(size=2_000)
+    t = pa.table({"grp": pa.array([f"g{i}" for i in g]), "value": pa.array(v)})
+    out = sketch.group_quantiles_disc(rd.from_arrow(t), "grp", "value").to_pandas()
+    out = out.set_index("grp").sort_index()
+    for gi in range(4):
+        vals = np.sort(v[g == gi])
+        n = len(vals)
+        for q, name in ((0.5, "p50"), (0.95, "p95"), (0.99, "p99")):
+            expect = vals[min(n - 1, int(np.ceil(q * n)) - 1)]
+            assert out.loc[f"g{gi}", name] == expect
