@@ -90,6 +90,9 @@ def asof_probe(ix: _CompositeIndex, lk: np.ndarray, lt: np.ndarray, *,
     stable (key, ts) sort — dedupe the right side per (key, ts) first for
     engine-independent results.
     """
+    if len(ix.comp) == 0:
+        z = np.zeros(len(lk), dtype=np.int64)
+        return np.zeros(len(lk), dtype=bool), z
     kc, found = _probe_keys(ix, lk)
     if direction == "backward":
         side = "left" if strict else "right"
@@ -147,6 +150,8 @@ def segment_sums(lo: np.ndarray, hi: np.ndarray, values: np.ndarray) -> np.ndarr
 
 def _payload_array(vals: np.ndarray, idx: np.ndarray, ok: np.ndarray,
                    typ: pa.DataType) -> pa.Array:
+    if len(vals) == 0:
+        return pa.nulls(len(idx), typ)
     out = vals[idx]
     return pa.array(out, type=typ, mask=~ok) if ok is not None else pa.array(out, type=typ)
 

@@ -70,6 +70,17 @@ def test_interval_probe_matches_bruteforce():
         assert pair_vals == sorted(match)
 
 
+def test_asof_probe_empty_right():
+    right = pa.table({"k": pa.array([], pa.int64()), "ts": pa.array([], pa.int64()),
+                      "v": pa.array([], pa.int64())})
+    ix = joins.build_index(right, "k", "ts", ["v"])
+    ok, idx = joins.asof_probe(ix, np.array([1, 2]), np.array([10, 20]))
+    assert not ok.any()
+    lo, hi = joins.interval_probe(ix, np.array([1]), np.array([10]), before_us=5, after_us=5)
+    assert (hi - lo == 0).all()
+    assert joins._payload_array(ix.payload["v"], idx, ok, pa.int64()).null_count == 2
+
+
 def _mk_tables(seed=3):
     rng = np.random.default_rng(seed)
     n_l, n_r = 400, 120
