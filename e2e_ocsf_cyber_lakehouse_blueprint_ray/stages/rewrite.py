@@ -258,7 +258,12 @@ def run_bins(
 
     # bundle bins so the task count is ~4 waves per slot: per-task scheduling
     # costs the driver ~5-10 ms, and hundreds of single-bin tasks serialize
-    # into seconds of pure executor overhead at high core counts
+    # into seconds of pure executor overhead at high core counts.
+    # LPT order (heaviest bins first): the straggler tail of the LAST wave
+    # bounds stage wall time, so heavy units must start early — hot
+    # partitions with attached MERGE upserts otherwise land late and idle
+    # every other slot behind them.
+    bins = sorted(bins, key=lambda b: -b["in_bytes"])
     per_task = max(1, -(-len(bins) // (conc * 4)))
     ds = rd.from_items(bins)
     ent_ds = ds.map_batches(
