@@ -718,6 +718,23 @@ def q_maint_optimize_scan(sf_dir: str):
         shutil.rmtree(work, ignore_errors=True)
 
 
+def q_maint_rollback_scan(sf_dir: str):
+    """Time travel (Delta RESTORE analog): compact, pin the snapshot, MERGE
+    on top, then roll back to the pinned snapshot — the scan must equal the
+    PRE-merge table byte-for-byte (oracle: the raw transcript CTE)."""
+    work = tempfile.mkdtemp(prefix="maint-", dir=cfg.scratch_dir())
+    try:
+        t = derive.build_maintenance_table(sf_dir, os.path.join(work, "tbl"), CONF)
+        compact_mod.compact(t)
+        pin = t.current_snapshot_id()
+        src = derive.derived_merge_source(derive.sorted_scan_arrow(t))
+        merge_mod.merge(t, src)
+        t.rollback(pin)
+        return derive.sorted_scan_arrow(t)
+    finally:
+        shutil.rmtree(work, ignore_errors=True)
+
+
 def q_maint_pruned_scan(sf_dir: str):
     """Stats-pruned scan of one conversation (file skipping via manifest)."""
     work = tempfile.mkdtemp(prefix="maint-", dir=cfg.scratch_dir())
@@ -787,6 +804,15 @@ def q_fingerprint_md5(sf_dir: str):
     ds = _read(sf_dir, "documents", ["doc_id", "text"])
     out = ds.map_batches(text_mod.fingerprint_md5, batch_format="pyarrow")
     return out.map_batches(lambda b: b.select(["doc_id", "fp_md5"]), batch_format="pyarrow")
+
+
+def q_sample_hash(sf_dir: str):
+    """Deterministic 10% md5-prefix sample of the documents corpus — the
+    reproducible curation-sampling primitive (same rows selected at any
+    partitioning / cluster size)."""
+    ds = _read(sf_dir, "documents", ["doc_id", "text", "lang", "source"])
+    out = ds.map_batches(text_mod.hash_sample, batch_format="pyarrow")
+    return out.map_batches(lambda b: b.select(["doc_id", "lang", "source"]), batch_format="pyarrow")
 
 
 def q_fingerprint_winnow(sf_dir: str):
@@ -1184,6 +1210,7 @@ def queries() -> dict:
         "q_maint_full_scan": q_maint_full_scan,
         "q_maint_pruned_scan": q_maint_pruned_scan,
         "q_maint_optimize_scan": q_maint_optimize_scan,
+        "q_maint_rollback_scan": q_maint_rollback_scan,
         "q_maint_time_scan": q_maint_time_scan,
         "q_conv_stats": q_conv_stats,
         # training-data ops
@@ -1194,6 +1221,7 @@ def queries() -> dict:
         "q_lang_id": q_lang_id,
         "q_text_scrub": q_text_scrub,
         "q_fingerprint_md5": q_fingerprint_md5,
+        "q_sample_hash": q_sample_hash,
         "q_fingerprint_winnow": q_fingerprint_winnow,
         "q_multimodal_decode": q_multimodal_decode,
         "q_multimodal_audio": q_multimodal_audio,
@@ -1361,6 +1389,7 @@ def oracle_sql() -> dict:
         "q_maint_full_scan": _M + _MERGED_SELECT,
         "q_maint_pruned_scan": _T + _TRANSCRIPT_SELECT + " WHERE conv_id = 'conv-00000042'",
         "q_maint_optimize_scan": _T + _TRANSCRIPT_SELECT,
+        "q_maint_rollback_scan": _T + _TRANSCRIPT_SELECT,
         "q_maint_time_scan": _T + _TRANSCRIPT_SELECT
         + " WHERE ts >= TIMESTAMP '2024-01-08' AND ts <= TIMESTAMP '2024-01-14 23:59:59.999999'",
         "q_conv_stats": _T + """
@@ -1402,6 +1431,11 @@ def oracle_sql() -> dict:
             FROM documents
         """,
         "q_fingerprint_md5": "SELECT doc_id, md5(text) AS fp_md5 FROM documents",
+        "q_sample_hash": """
+            SELECT doc_id, lang, source FROM documents
+            WHERE text IS NOT NULL
+              AND substr(md5(text), 1, 4) < '1999'
+        """,
         "q_multimodal_decode": """
             SELECT doc_id AS media_id,
                    CAST(octet_length(encode(text)) + 8 AS BIGINT) AS n_bytes,

@@ -149,6 +149,21 @@ def fingerprint_md5(batch: pa.Table, *, text_col: str = "text", out_col: str = "
     return batch.append_column(out_col, pa.array(vals, pa.string()))
 
 
+def hash_sample(batch: pa.Table, *, text_col: str = "text", pct: int = 10) -> pa.Table:
+    """Deterministic content-hash sampling for training-data curation: keep
+    a row iff the first 4 hex chars of md5(text) fall in the lowest ``pct``%
+    of the 16-bit space. Engine-independent (mirrors DuckDB
+    ``substr(md5(text),1,4) < '<hex cut>'``), stable across runs and
+    partitionings — re-sampling the same corpus always selects the same
+    documents, which is what makes incremental re-curation reproducible."""
+    cut = (pct * 0x10000) // 100
+    keep = [
+        t is not None and int(hashlib.md5(t.encode("utf-8")).hexdigest()[:4], 16) < cut
+        for t in batch[text_col].to_pylist()
+    ]
+    return batch.filter(pa.array(keep, pa.bool_()))
+
+
 _FP_MOD = np.uint64((1 << 61) - 1)
 _FP_BASE = np.uint64(1_000_003)
 

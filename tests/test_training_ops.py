@@ -82,6 +82,23 @@ def test_scrub_pii():
     assert out[2]["n_redactions"] == 3
 
 
+def test_hash_sample_deterministic_and_partition_invariant():
+    texts = [f"document number {i} body" for i in range(500)] + [None]
+    b = pa.table(
+        {"doc_id": pa.array(range(501), pa.int64()), "text": pa.array(texts)}
+    )
+    kept = text.hash_sample(b)["doc_id"].to_pylist()
+    # 10% expected band (binomial, wide tolerance)
+    assert 20 <= len(kept) <= 90
+    # partition-invariant: sampling two halves separately selects the same ids
+    half = text.hash_sample(b.slice(0, 250))["doc_id"].to_pylist() + text.hash_sample(
+        b.slice(250)
+    )["doc_id"].to_pylist()
+    assert half == kept
+    # null text never sampled
+    assert 500 not in kept
+
+
 def test_exact_dedup_with_planted_dupes(ray_session):
     import ray.data as rd
 
