@@ -815,6 +815,38 @@ def q_sample_hash(sf_dir: str):
     return out.map_batches(lambda b: b.select(["doc_id", "lang", "source"]), batch_format="pyarrow")
 
 
+def q_curation_pipeline(sf_dir: str):
+    """Flagship training-data curation composition — ONE streaming
+    map_batches pass (PII scrub → lang-ID + quality features on the scrubbed
+    text → keep identified-language docs with ≥ 5 words), then the
+    exact-dedup range shuffle (min-id survivor per distinct scrubbed text,
+    duplicate count), then a 50% deterministic md5-prefix sample. Everything
+    up to the dedup sort is fused per-batch with no materialization; the
+    sample is partition-invariant, so re-curating the same corpus on any
+    cluster size selects the same documents."""
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+
+    def prep(b: pa.Table) -> pa.Table:
+        b = text_mod.scrub_pii(b)
+        b = pa.table({"doc_id": b["doc_id"], "text": b["scrubbed"]})
+        b = text_mod.lang_id(b)
+        b = text_mod.quality_score(b)
+        mask = pc.and_(
+            pc.not_equal(b["pred_lang"], "und"), pc.greater_equal(b["n_words"], 5)
+        )
+        return b.filter(mask).select(["doc_id", "text", "pred_lang", "n_words"])
+
+    kept = ds.map_batches(prep, batch_format="pyarrow", batch_size=CONF.batch_size)
+    deduped = dedup_mod.exact_dedup(kept, config=CONF)
+    sampled = deduped.map_batches(
+        lambda b: text_mod.hash_sample(b, pct=50), batch_format="pyarrow"
+    )
+    return sampled.map_batches(
+        lambda b: b.select(["doc_id", "dupes", "pred_lang", "n_words"]),
+        batch_format="pyarrow",
+    )
+
+
 def q_fingerprint_winnow(sf_dir: str):
     ds = _read(sf_dir, "documents", ["doc_id", "text"])
     out = ds.map_batches(text_mod.winnow_fingerprint, batch_format="pyarrow")
@@ -1160,7 +1192,9 @@ WITH gh AS (
 STOP_SQL = "('" + "','".join(text_mod.STOPWORDS) + "')"
 
 
-def _lang_sql() -> str:
+def _lang_counts_and_case() -> tuple[str, str]:
+    """(marker-count projections over a column named ``text``, CASE expr over
+    the ``c_<lang>`` counts) — shared by the lang-ID and curation oracles."""
     counts = []
     for lg in text_mod.LANG_ORDER:
         vocab = "('" + "','".join(text_mod.LANG_MARKERS[lg]) + "')"
@@ -1172,9 +1206,40 @@ def _lang_sql() -> str:
         conds = " AND ".join(f"c_{lg} >= c_{o}" for o in text_mod.LANG_ORDER if o != lg)
         cases.append(f"WHEN {conds} THEN '{lg}'")
     total = " + ".join(f"c_{lg}" for lg in text_mod.LANG_ORDER)
+    case = f"CASE WHEN {total} = 0 THEN 'und' {' '.join(cases)} ELSE 'und' END"
+    return ", ".join(counts), case
+
+
+def _lang_sql() -> str:
+    counts, case = _lang_counts_and_case()
     return f"""
-    SELECT doc_id, CASE WHEN {total} = 0 THEN 'und' {' '.join(cases)} ELSE 'und' END AS pred_lang
-    FROM (SELECT doc_id, {', '.join(counts)} FROM documents)
+    SELECT doc_id, {case} AS pred_lang
+    FROM (SELECT doc_id, {counts} FROM documents)
+    """
+
+
+_SCRUB_EXPR = (
+    "regexp_replace(regexp_replace(text, "
+    f"'{text_mod.PII_EMAIL}', '<EMAIL>', 'g'), "
+    f"'{text_mod.PII_DIGITS}', '<NUM>', 'g')"
+)
+
+
+def _curation_sql() -> str:
+    counts, case = _lang_counts_and_case()
+    return f"""
+    WITH s AS (SELECT doc_id, {_SCRUB_EXPR} AS text FROM documents),
+    f AS (SELECT doc_id, text, {counts} FROM s),
+    g AS (SELECT doc_id, text,
+                 CAST(len(regexp_split_to_array(trim(text), '\\s+')) AS BIGINT) AS n_words,
+                 {case} AS pred_lang
+          FROM f),
+    kept AS (SELECT * FROM g WHERE pred_lang <> 'und' AND n_words >= 5),
+    d AS (SELECT CAST(min(doc_id) AS BIGINT) AS doc_id, COUNT(*) AS dupes,
+                 text, pred_lang, n_words
+          FROM kept GROUP BY text, pred_lang, n_words)
+    SELECT doc_id, dupes, pred_lang, n_words FROM d
+    WHERE substr(md5(text), 1, 4) < '8000'
     """
 
 
@@ -1222,6 +1287,7 @@ def queries() -> dict:
         "q_text_scrub": q_text_scrub,
         "q_fingerprint_md5": q_fingerprint_md5,
         "q_sample_hash": q_sample_hash,
+        "q_curation_pipeline": q_curation_pipeline,
         "q_fingerprint_winnow": q_fingerprint_winnow,
         "q_multimodal_decode": q_multimodal_decode,
         "q_multimodal_audio": q_multimodal_audio,
@@ -1436,6 +1502,7 @@ def oracle_sql() -> dict:
             WHERE text IS NOT NULL
               AND substr(md5(text), 1, 4) < '1999'
         """,
+        "q_curation_pipeline": _curation_sql(),
         "q_multimodal_decode": """
             SELECT doc_id AS media_id,
                    CAST(octet_length(encode(text)) + 8 AS BIGINT) AS n_bytes,
