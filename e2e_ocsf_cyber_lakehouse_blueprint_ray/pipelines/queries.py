@@ -878,6 +878,22 @@ def q_multimodal_audio(sf_dir: str):
     )
 
 
+def q_multimodal_resize(sf_dir: str):
+    """Image-resize actor-pool stage (fake-codec nearest-neighbor resample;
+    real codec stubbed): synthesize payloads → resize to ≤32×32 → dims +
+    output byte counts (the resample math itself is pytest-covered; the
+    oracle checks the full dims/byte-count contract)."""
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+    media = ds.map_batches(multimodal_mod.synthesize_payloads, batch_format="pyarrow")
+    rs = media.map_batches(
+        multimodal_mod.ImageResizer, batch_format="pyarrow", batch_size=256, concurrency=2
+    )
+    return rs.map_batches(
+        lambda b: b.select(["media_id", "width", "height", "out_w", "out_h", "n_bytes_out"]),
+        batch_format="pyarrow",
+    )
+
+
 def q_ngram_jaccard_lsh(sf_dir: str):
     """Production n-gram Jaccard: MinHash-LSH candidates + exact distributed
     per-pair verification (no grouping column, no per-group O(m²))."""
@@ -1291,6 +1307,7 @@ def queries() -> dict:
         "q_fingerprint_winnow": q_fingerprint_winnow,
         "q_multimodal_decode": q_multimodal_decode,
         "q_multimodal_audio": q_multimodal_audio,
+        "q_multimodal_resize": q_multimodal_resize,
         "q_ngram_jaccard_lsh": q_ngram_jaccard_lsh,
         "q_ann_topk": q_ann_topk,
         "q_ann_ivf": q_ann_ivf,
@@ -1514,6 +1531,16 @@ def oracle_sql() -> dict:
             SELECT doc_id AS media_id,
                    CAST(16000 AS INTEGER) AS sample_rate,
                    octet_length(encode(text)) / 16000.0 AS duration_s
+            FROM documents
+        """,
+        "q_multimodal_resize": """
+            SELECT doc_id AS media_id,
+                   CAST(1 + octet_length(encode(text)) % 640 AS INTEGER) AS width,
+                   CAST(1 + (octet_length(encode(text)) * 7) % 480 AS INTEGER) AS height,
+                   CAST(least(1 + octet_length(encode(text)) % 640, 32) AS INTEGER) AS out_w,
+                   CAST(least(1 + (octet_length(encode(text)) * 7) % 480, 32) AS INTEGER) AS out_h,
+                   CAST(8 + least(1 + octet_length(encode(text)) % 640, 32)
+                          * least(1 + (octet_length(encode(text)) * 7) % 480, 32) AS BIGINT) AS n_bytes_out
             FROM documents
         """,
         "q_ann_topk": """

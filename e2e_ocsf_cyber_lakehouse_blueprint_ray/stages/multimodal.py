@@ -147,6 +147,74 @@ class AudioFeatureExtractor:
         return out.append_column("band_energy", pa.array(bands_out, pa.list_(pa.float32())))
 
 
+class ImageResizer:
+    """Actor-pool resize stage: payload → resized payload + dims.
+
+    ``use_real_codec=True`` requires PIL — absent in this container, so it
+    raises ``NotImplementedError`` (clearly-marked stub). The default fake
+    path does a REAL deterministic nearest-neighbor resample: the payload
+    body is treated as the flattened pixel stream and sampled at
+    ``target_w × target_h`` evenly-spaced indices (vectorized numpy take),
+    emitting a new IMG1 payload — so batch sizing, payload lifecycle (input
+    payload dropped, smaller output payload carried) and actor-pool
+    plumbing are exercised end to end. Output dims are capped at the
+    original dims (downsample-only), matching the oracle's
+    ``least(width, target)``.
+    """
+
+    def __init__(self, *, target_w: int = 32, target_h: int = 32, use_real_codec: bool = False):
+        self.tw = int(target_w)
+        self.th = int(target_h)
+        if use_real_codec:
+            try:
+                import PIL.Image  # noqa: F401
+            except ImportError as e:
+                raise NotImplementedError(
+                    "real image resize needs PIL, which is not installed; "
+                    "use the deterministic fake-resample path"
+                ) from e
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        import numpy as np
+
+        ows, ohs, rws, rhs, payloads, nbytes = [], [], [], [], [], []
+        for p in batch["payload"].to_pylist():
+            if p is None or len(p) < 8 or p[:4] != b"IMG1":
+                ows.append(None)
+                ohs.append(None)
+                rws.append(None)
+                rhs.append(None)
+                payloads.append(None)
+                nbytes.append(None)
+                continue
+            w = int.from_bytes(p[4:6], "little")
+            h = int.from_bytes(p[6:8], "little")
+            px = np.frombuffer(p[8:], dtype=np.uint8)
+            rw, rh = min(self.tw, w), min(self.th, h)
+            n_out = rw * rh
+            if len(px):
+                idx = (np.arange(n_out, dtype=np.int64) * len(px)) // n_out
+                out_px = px[idx]
+            else:
+                out_px = np.zeros(n_out, dtype=np.uint8)
+            body = out_px.tobytes()
+            payloads.append(
+                b"IMG1" + rw.to_bytes(2, "little") + rh.to_bytes(2, "little") + body
+            )
+            ows.append(w)
+            ohs.append(h)
+            rws.append(rw)
+            rhs.append(rh)
+            nbytes.append(8 + len(body))
+        out = batch.drop_columns(["payload", "n_bytes"])
+        out = out.append_column("width", pa.array(ows, pa.int32()))
+        out = out.append_column("height", pa.array(ohs, pa.int32()))
+        out = out.append_column("out_w", pa.array(rws, pa.int32()))
+        out = out.append_column("out_h", pa.array(rhs, pa.int32()))
+        out = out.append_column("n_bytes_out", pa.array(nbytes, pa.int64()))
+        return out.append_column("payload", pa.array(payloads, pa.binary()))
+
+
 class FrameSampler:
     """Video-analog stage: sample ``n_frames`` evenly-spaced byte-slices from
     each payload (real codec would seek keyframes; structure is identical)."""

@@ -289,6 +289,32 @@ def test_multimodal_plumbing(docs_ds, ray_session):
         multimodal.AudioFeatureExtractor(use_real_codec=True)
 
 
+def test_image_resize_resample():
+    # 4x2 "image": pixel stream 0..7; resize to 2x2 must nearest-neighbor
+    # sample indices floor(i * 8 / 4) = [0, 2, 4, 6]
+    payload = b"IMG1" + (4).to_bytes(2, "little") + (2).to_bytes(2, "little") + bytes(range(8))
+    b = pa.table({"media_id": pa.array([1], pa.int64()),
+                  "kind": pa.array(["image"]),
+                  "payload": pa.array([payload], pa.binary()),
+                  "n_bytes": pa.array([len(payload)], pa.int64())})
+    out = multimodal.ImageResizer(target_w=2, target_h=2)(b).to_pylist()[0]
+    assert (out["width"], out["height"], out["out_w"], out["out_h"]) == (4, 2, 2, 2)
+    assert out["payload"] == b"IMG1" + (2).to_bytes(2, "little") + (2).to_bytes(2, "little") + bytes([0, 2, 4, 6])
+    assert out["n_bytes_out"] == 12
+    # never upsamples: target larger than the image keeps original dims
+    same = multimodal.ImageResizer(target_w=64, target_h=64)(b).to_pylist()[0]
+    assert (same["out_w"], same["out_h"]) == (4, 2)
+    assert same["payload"] == payload
+    # corrupt payload degrades to nulls, and the real-codec stub is gated
+    bad = pa.table({"media_id": pa.array([2], pa.int64()),
+                    "kind": pa.array(["image"]),
+                    "payload": pa.array([b"nope"], pa.binary()),
+                    "n_bytes": pa.array([4], pa.int64())})
+    assert multimodal.ImageResizer()(bad).to_pylist()[0]["out_w"] is None
+    with pytest.raises(NotImplementedError):
+        multimodal.ImageResizer(use_real_codec=True)
+
+
 def test_duplicate_clusters_and_representatives(ray_session):
     import ray.data as rd
 
