@@ -815,6 +815,60 @@ def q_sample_hash(sf_dir: str):
     return out.map_batches(lambda b: b.select(["doc_id", "lang", "source"]), batch_format="pyarrow")
 
 
+def q_token_topk(sf_dir: str):
+    """Global token-frequency top-50 — the classic word count, shaped for
+    scale: per-batch ``value_counts`` partials (combiner) so the
+    ``groupby("token")`` shuffle moves vocabulary-sized partials, not
+    corpus-sized token occurrences; deterministic (count DESC, token ASC)
+    tie-break."""
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+    parts = ds.map_batches(
+        text_mod.token_partial_counts, batch_format="pyarrow", batch_size=CONF.batch_size
+    )
+    agg = parts.groupby("token").sum("n")
+
+    def rename(b: pa.Table) -> pa.Table:
+        i = b.schema.get_field_index("sum(n)")
+        return b.set_column(i, "n_total", pc.cast(b["sum(n)"], pa.int64()))
+
+    out = agg.map_batches(rename, batch_format="pyarrow")
+    return out.sort(["n_total", "token"], descending=[True, False]).limit(50)
+
+
+def q_doc_chunks(sf_dir: str):
+    """Sequence chunking for training prep: each doc → ceil(n_tokens/32)
+    chunks of ≤ 32 whitespace tokens (docs never straddle chunks)."""
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+    return ds.map_batches(text_mod.sequence_chunks, batch_format="pyarrow")
+
+
+#: Mixture-sampling weights per source (deterministic md5-content gates);
+#: every weight must stay < 1.0 so the 4-hex-digit oracle cut is exact.
+MIX_WEIGHTS = {"src0": 0.75, "src1": 0.5, "src2": 0.25, "src3": 0.0625}
+
+
+def q_mixture_sample(sf_dir: str):
+    """Weighted dataset blending: keep each source at its mixture weight,
+    gated by content hash (not RNG) — the same rows survive at any
+    partitioning / cluster size."""
+    ds = _read(sf_dir, "documents", ["doc_id", "text", "source"])
+    out = ds.map_batches(
+        text_mod.mixture_sample, fn_kwargs=dict(weights=MIX_WEIGHTS), batch_format="pyarrow"
+    )
+    return out.map_batches(lambda b: b.select(["doc_id", "source"]), batch_format="pyarrow")
+
+
+def _mixture_sql() -> str:
+    cases = " ".join(
+        f"WHEN '{g}' THEN substr(md5(text), 1, 4) < '{int(w * 0x10000):04x}'"
+        for g, w in MIX_WEIGHTS.items()
+    )
+    return f"""
+        SELECT doc_id, source FROM documents
+        WHERE text IS NOT NULL AND CASE source {cases} ELSE FALSE END
+    """
+
+
 def q_curation_pipeline(sf_dir: str):
     """Flagship training-data curation composition — ONE streaming
     map_batches pass (PII scrub → lang-ID + quality features on the scrubbed
@@ -1303,6 +1357,9 @@ def queries() -> dict:
         "q_text_scrub": q_text_scrub,
         "q_fingerprint_md5": q_fingerprint_md5,
         "q_sample_hash": q_sample_hash,
+        "q_mixture_sample": q_mixture_sample,
+        "q_token_topk": q_token_topk,
+        "q_doc_chunks": q_doc_chunks,
         "q_curation_pipeline": q_curation_pipeline,
         "q_fingerprint_winnow": q_fingerprint_winnow,
         "q_multimodal_decode": q_multimodal_decode,
@@ -1520,6 +1577,24 @@ def oracle_sql() -> dict:
               AND substr(md5(text), 1, 4) < '1999'
         """,
         "q_curation_pipeline": _curation_sql(),
+        "q_mixture_sample": _mixture_sql(),
+        "q_token_topk": """
+            SELECT token, CAST(COUNT(*) AS BIGINT) AS n_total
+            FROM (SELECT unnest(regexp_split_to_array(trim(text), '\\s+')) AS token
+                  FROM documents)
+            GROUP BY token ORDER BY n_total DESC, token ASC LIMIT 50
+        """,
+        "q_doc_chunks": """
+            WITH n AS (SELECT doc_id,
+                              CAST(len(regexp_split_to_array(trim(text), '\\s+')) AS BIGINT) AS n_tokens
+                       FROM documents),
+            c AS (SELECT doc_id, n_tokens,
+                         unnest(generate_series(0, CAST(greatest(ceil(n_tokens / 32.0), 1) AS BIGINT) - 1)) AS chunk_idx
+                  FROM n)
+            SELECT doc_id, chunk_idx,
+                   CAST(least(32, n_tokens - chunk_idx * 32) AS BIGINT) AS n_chunk_tokens
+            FROM c
+        """,
         "q_multimodal_decode": """
             SELECT doc_id AS media_id,
                    CAST(octet_length(encode(text)) + 8 AS BIGINT) AS n_bytes,

@@ -149,6 +149,75 @@ def fingerprint_md5(batch: pa.Table, *, text_col: str = "text", out_col: str = "
     return batch.append_column(out_col, pa.array(vals, pa.string()))
 
 
+def token_partial_counts(batch: pa.Table, *, text_col: str = "text") -> pa.Table:
+    """Per-batch partial token frequencies — the combiner half of a global
+    word count. Flatten the whitespace-token lists and ``value_counts`` them
+    INSIDE the batch, so the downstream ``groupby("token").sum("n")``
+    shuffle moves one row per distinct token per batch (vocabulary-sized),
+    not one per token occurrence (corpus-sized)."""
+    toks = _token_lists(batch[text_col])
+    flat = toks.flatten()
+    if len(flat) == 0:
+        return pa.table({"token": pa.array([], pa.string()), "n": pa.array([], pa.int64())})
+    vc = flat.value_counts()  # StructArray<values, counts>
+    return pa.table(
+        {
+            "token": vc.field("values"),
+            "n": pc.cast(vc.field("counts"), pa.int64()),
+        }
+    )
+
+
+def sequence_chunks(
+    batch: pa.Table, *, text_col: str = "text", id_col: str = "doc_id", capacity: int = 32
+) -> pa.Table:
+    """Sequence chunker for training-data prep: split each document into
+    ``ceil(n_tokens / capacity)`` chunks of ≤ ``capacity`` whitespace tokens,
+    emitting (doc_id, chunk_idx, n_chunk_tokens). Fully vectorized
+    (np.repeat + per-doc aranges); docs never straddle chunk boundaries."""
+    toks = _token_lists(batch[text_col])
+    n = pc.list_value_length(toks).to_numpy(zero_copy_only=False).astype(np.int64)
+    n_chunks = np.maximum((n + capacity - 1) // capacity, 1)
+    ids = batch[id_col].to_numpy(zero_copy_only=False)
+    rep_ids = np.repeat(ids, n_chunks)
+    total = int(n_chunks.sum())
+    # chunk_idx: concatenated aranges per doc
+    starts = np.concatenate([[0], np.cumsum(n_chunks)[:-1]])
+    chunk_idx = np.arange(total, dtype=np.int64) - np.repeat(starts, n_chunks)
+    last = np.repeat(n - (n_chunks - 1) * capacity, n_chunks)  # size of final chunk
+    is_last = chunk_idx == np.repeat(n_chunks - 1, n_chunks)
+    sizes = np.where(is_last, last, capacity)
+    return pa.table(
+        {
+            id_col: pa.array(rep_ids, pa.int64()),
+            "chunk_idx": pa.array(chunk_idx, pa.int64()),
+            "n_chunk_tokens": pa.array(sizes, pa.int64()),
+        }
+    )
+
+
+def mixture_sample(
+    batch: pa.Table,
+    *,
+    weights: dict[str, float],
+    group_col: str = "source",
+    text_col: str = "text",
+) -> pa.Table:
+    """Weighted mixture sampling for dataset blending: keep each row with
+    its group's probability, decided by the md5 prefix of the CONTENT (not a
+    RNG) — deterministic, partition/cluster-size invariant, and
+    engine-independent (mirrors a DuckDB CASE over
+    ``substr(md5(text),1,4)``). Unknown groups get weight 0."""
+    cuts = {g: (int(w * 0x10000)) for g, w in weights.items()}
+    groups = batch[group_col].to_pylist()
+    keep = [
+        t is not None
+        and int(hashlib.md5(t.encode("utf-8")).hexdigest()[:4], 16) < cuts.get(g, 0)
+        for g, t in zip(groups, batch[text_col].to_pylist())
+    ]
+    return batch.filter(pa.array(keep, pa.bool_()))
+
+
 def hash_sample(batch: pa.Table, *, text_col: str = "text", pct: int = 10) -> pa.Table:
     """Deterministic content-hash sampling for training-data curation: keep
     a row iff the first 4 hex chars of md5(text) fall in the lowest ``pct``%

@@ -82,6 +82,48 @@ def test_scrub_pii():
     assert out[2]["n_redactions"] == 3
 
 
+def test_sequence_chunks_edges():
+    texts = ["a b c", " ".join(["t"] * 64), " ".join(["u"] * 65), ""]
+    b = pa.table({"doc_id": pa.array(range(4), pa.int64()), "text": pa.array(texts)})
+    out = text.sequence_chunks(b, capacity=32).to_pylist()
+    by_doc = {}
+    for r in out:
+        by_doc.setdefault(r["doc_id"], []).append((r["chunk_idx"], r["n_chunk_tokens"]))
+    assert by_doc[0] == [(0, 3)]
+    assert by_doc[1] == [(0, 32), (1, 32)]  # exact multiple: no empty tail chunk
+    assert by_doc[2] == [(0, 32), (1, 32), (2, 1)]
+    # empty text tokenizes to [''] (1 token), one chunk — mirrors the SQL split
+    assert by_doc[3] == [(0, 1)]
+
+
+def test_token_partial_counts_sum_to_global():
+    b = pa.table(
+        {"doc_id": pa.array([1, 2], pa.int64()), "text": pa.array(["x y x", "y z"])}
+    )
+    rows = {r["token"]: r["n"] for r in text.token_partial_counts(b).to_pylist()}
+    assert rows == {"x": 2, "y": 2, "z": 1}
+
+
+def test_mixture_sample_weights_and_determinism():
+    n = 400
+    b = pa.table(
+        {
+            "doc_id": pa.array(range(n), pa.int64()),
+            "text": pa.array([f"doc body {i}" for i in range(n)]),
+            "source": pa.array(["hi" if i % 2 == 0 else "lo" for i in range(n)]),
+        }
+    )
+    kept = text.mixture_sample(b, weights={"hi": 0.9, "lo": 0.1})
+    srcs = kept["source"].to_pylist()
+    hi, lo = srcs.count("hi"), srcs.count("lo")
+    assert 150 <= hi <= 200 and 5 <= lo <= 45  # ~180 vs ~20 expected
+    # unknown group → weight 0; rerun is identical (content-gated, no RNG)
+    none = text.mixture_sample(b, weights={"other": 1.0 - 1e-9})
+    assert none.num_rows == 0
+    again = text.mixture_sample(b, weights={"hi": 0.9, "lo": 0.1})
+    assert again["doc_id"].to_pylist() == kept["doc_id"].to_pylist()
+
+
 def test_hash_sample_deterministic_and_partition_invariant():
     texts = [f"document number {i} body" for i in range(500)] + [None]
     b = pa.table(
