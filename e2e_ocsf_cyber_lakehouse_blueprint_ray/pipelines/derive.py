@@ -111,6 +111,67 @@ def transcripts_from_events(sf_dir: str):
     return ds.groupby("user_id").map_groups(number_turns, batch_format="pyarrow")
 
 
+def render_conversations(ds):
+    """Transcript turns → ONE training document per conversation
+    (``role: text`` lines joined by newlines in turn order) — the core
+    transcripts→training-data conversion.
+
+    Skew-proof shape (same recipe as sessionize/exact-dedup): global
+    ``sort(conv_id, turn_idx)`` — the range shuffle balances blocks by ROWS
+    so a hot conversation spans several blocks instead of pinning one
+    reducer — then one VECTORIZED pass per sorted block joins each
+    contiguous conv run into a fragment (Arrow ListArray + binary_join, no
+    per-row Python), then a ``groupby(conv_id)`` merge over FRAGMENTS whose
+    per-conv cardinality is bounded by the number of blocks the conv spans,
+    not its turn count."""
+    sorted_ds = ds.sort(["conv_id", "turn_idx"])
+
+    def block_fragments(b: pa.Table) -> pa.Table:
+        empty = pa.table(
+            {
+                "conv_id": pa.array([], pa.string()),
+                "first_turn": pa.array([], pa.int32()),
+                "n": pa.array([], pa.int64()),
+                "frag": pa.array([], pa.string()),
+            }
+        )
+        if b.num_rows == 0:
+            return empty
+        lines = pc.binary_join_element_wise(
+            b["role"].combine_chunks(), b["text"].combine_chunks(), ": "
+        )
+        conv = b["conv_id"].to_numpy(zero_copy_only=False)
+        starts = np.flatnonzero(np.r_[True, conv[1:] != conv[:-1]])
+        offsets = np.r_[starts, len(conv)].astype(np.int32)
+        runs = pa.ListArray.from_arrays(pa.array(offsets, pa.int32()), lines)
+        frags = pc.binary_join(runs, "\n")
+        return pa.table(
+            {
+                "conv_id": pa.array(conv[starts], pa.string()),
+                "first_turn": b["turn_idx"].take(pa.array(starts)),
+                "n": pa.array(np.diff(np.r_[starts, len(conv)]), pa.int64()),
+                "frag": frags,
+            }
+        )
+
+    frags = sorted_ds.map_batches(block_fragments, batch_format="pyarrow", batch_size=None)
+
+    def merge_conv(g: pa.Table) -> pa.Table:
+        g = g.take(pc.sort_indices(g, sort_keys=[("first_turn", "ascending")]))
+        runs = pa.ListArray.from_arrays(
+            pa.array([0, g.num_rows], pa.int32()), g["frag"].combine_chunks()
+        )
+        return pa.table(
+            {
+                "conv_id": g["conv_id"].slice(0, 1),
+                "rendered": pc.binary_join(runs, "\n"),
+                "n_turns": pa.array([int(pc.sum(g["n"]).as_py())], pa.int64()),
+            }
+        )
+
+    return frags.groupby("conv_id").map_groups(merge_conv, batch_format="pyarrow")
+
+
 def derived_merge_source(base: pa.Table) -> pa.Table:
     """Deterministic merge source matching MERGE_CTE (upd/del/ins rules)."""
     turn = base["turn_idx"].to_numpy(zero_copy_only=False)

@@ -815,6 +815,13 @@ def q_sample_hash(sf_dir: str):
     return out.map_batches(lambda b: b.select(["doc_id", "lang", "source"]), batch_format="pyarrow")
 
 
+def q_conv_render(sf_dir: str):
+    """Conversation rendering: transcript turns → one ``role: text`` training
+    document per conversation, order-preserving and skew-proof (see
+    derive.render_conversations)."""
+    return derive.render_conversations(derive.transcripts_from_events(sf_dir))
+
+
 def q_token_topk(sf_dir: str):
     """Global token-frequency top-50 — the classic word count, shaped for
     scale: per-batch ``value_counts`` partials (combiner) so the
@@ -1348,6 +1355,7 @@ def queries() -> dict:
         "q_maint_rollback_scan": q_maint_rollback_scan,
         "q_maint_time_scan": q_maint_time_scan,
         "q_conv_stats": q_conv_stats,
+        "q_conv_render": q_conv_render,
         # training-data ops
         "q_dedup_exact": q_dedup_exact,
         "q_token_count": q_token_count,
@@ -1532,6 +1540,12 @@ def oracle_sql() -> dict:
         "q_maint_rollback_scan": _T + _TRANSCRIPT_SELECT,
         "q_maint_time_scan": _T + _TRANSCRIPT_SELECT
         + " WHERE ts >= TIMESTAMP '2024-01-08' AND ts <= TIMESTAMP '2024-01-14 23:59:59.999999'",
+        "q_conv_render": _T + """
+            SELECT conv_id,
+                   string_agg(role || ': ' || text, chr(10) ORDER BY turn_idx) AS rendered,
+                   COUNT(*) AS n_turns
+            FROM t GROUP BY conv_id
+        """,
         "q_conv_stats": _T + """
             SELECT conv_id, COUNT(*) AS n_turns,
                    CAST(SUM(CASE WHEN role = 'tool' THEN 1 ELSE 0 END) AS BIGINT) AS n_tool_turns,

@@ -101,3 +101,36 @@ def test_sessionize_pipeline_is_skew_exact(ray_session, tmp_path):
     assert got[1] == (n_hot, exp_hot_sessions)
     for u in range(2, 2 + n_cold_users):
         assert got[u] == (per_cold, 1)
+
+
+def test_render_conversations_merges_multiblock_conv(ray_session):
+    import ray.data as rd
+
+    from e2e_ocsf_cyber_lakehouse_blueprint_ray.pipelines import derive
+
+    # one hot conv spread over 4 input blocks + one cold conv, shuffled input
+    n_hot = 1000
+    hot = pa.table(
+        {
+            "conv_id": pa.array(["conv-hot"] * n_hot),
+            "turn_idx": pa.array(np.arange(n_hot, dtype=np.int32)),
+            "role": pa.array(["user", "assistant"] * (n_hot // 2)),
+            "text": pa.array([f"turn {i}" for i in range(n_hot)]),
+        }
+    )
+    cold = pa.table(
+        {
+            "conv_id": pa.array(["conv-cold"] * 2),
+            "turn_idx": pa.array(np.array([1, 0], dtype=np.int32)),
+            "role": pa.array(["assistant", "user"]),
+            "text": pa.array(["second", "first"]),
+        }
+    )
+    blocks = [hot.slice(i * 250, 250) for i in range(4)] + [cold]
+    got = {r["conv_id"]: r for r in derive.render_conversations(rd.from_arrow(blocks)).take_all()}
+    assert got["conv-cold"]["rendered"] == "user: first\nassistant: second"
+    assert got["conv-cold"]["n_turns"] == 2
+    roles = ["user", "assistant"] * (n_hot // 2)
+    exp = "\n".join(f"{r}: turn {i}" for i, r in enumerate(roles))
+    assert got["conv-hot"]["n_turns"] == n_hot
+    assert got["conv-hot"]["rendered"] == exp
