@@ -764,6 +764,34 @@ def q_dedup_exact(sf_dir: str):
     return ds.map_batches(project, batch_format="pyarrow")
 
 
+def q_dedup_incremental(sf_dir: str):
+    """Incremental ingest-round dedup: a deterministic increment (even ids
+    re-send their corpus text verbatim; odd ids send a new 'v2: ' revision)
+    deduped AGAINST the existing corpus — only texts new to the corpus
+    survive, min-id per distinct text with in-increment dup counts. Fully
+    distributed (no corpus broadcast; see dedup.incremental_exact_dedup)."""
+    corpus = _read(sf_dir, "documents", ["doc_id", "text"])
+
+    def make_inc(b: pa.Table) -> pa.Table:
+        did = b["doc_id"].to_numpy(zero_copy_only=False)
+        text = b["text"].combine_chunks()
+        v2 = pc.binary_join_element_wise(
+            pa.array(["v2: "] * len(did)), text, "", null_handling="emit_null"
+        )
+        new_text = pc.if_else(pa.array(did % 2 == 0), text, v2)
+        return pa.table(
+            {"doc_id": pa.array(did + 100000, pa.int64()), "text": new_text}
+        )
+
+    inc = _read(sf_dir, "documents", ["doc_id", "text"]).map_batches(
+        make_inc, batch_format="pyarrow"
+    )
+    out = dedup_mod.incremental_exact_dedup(corpus, inc, config=CONF)
+    return out.map_batches(
+        lambda b: b.select(["doc_id", "dupes", "text"]), batch_format="pyarrow"
+    )
+
+
 def q_token_count(sf_dir: str):
     ds = _read(sf_dir, "documents", ["doc_id", "text"])
     out = ds.map_batches(text_mod.token_count, batch_format="pyarrow")
@@ -1358,6 +1386,7 @@ def queries() -> dict:
         "q_conv_render": q_conv_render,
         # training-data ops
         "q_dedup_exact": q_dedup_exact,
+        "q_dedup_incremental": q_dedup_incremental,
         "q_token_count": q_token_count,
         "q_token_count_bpe": q_token_count_bpe,
         "q_text_quality": q_text_quality,
@@ -1555,6 +1584,20 @@ def oracle_sql() -> dict:
         "q_dedup_exact": """
             SELECT CAST(min(doc_id) AS BIGINT) AS doc_id, COUNT(*) AS dupes, text
             FROM documents GROUP BY text
+        """,
+        "q_dedup_incremental": """
+            WITH inc AS (
+              SELECT doc_id + 100000 AS doc_id,
+                     CASE WHEN doc_id % 2 = 0 THEN text
+                          ELSE 'v2: ' || text END AS text
+              FROM documents
+            )
+            SELECT CAST(min(doc_id) AS BIGINT) AS doc_id,
+                   COUNT(*) AS dupes, text
+            FROM inc
+            WHERE text IS NOT NULL
+              AND text NOT IN (SELECT text FROM documents WHERE text IS NOT NULL)
+            GROUP BY text
         """,
         "q_token_count": r"""
             SELECT doc_id, CAST(len(regexp_split_to_array(trim(text), '\s+')) AS BIGINT) AS n_tokens

@@ -47,7 +47,14 @@ def add_content_hash(batch: pa.Table, *, text_col: str = "text", out_col: str = 
     )
 
 
-def exact_dedup(ds, *, text_col: str = "text", id_col: str = "doc_id", config: EngineConfig = DEFAULT):
+def exact_dedup(
+    ds,
+    *,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    rank_col: str | None = None,
+    config: EngineConfig = DEFAULT,
+):
     """Keep the min-id row per distinct text; adds ``dupes`` count.
 
     Shape: global ``sort(_h, text, id)`` (range shuffle — balances blocks by
@@ -58,6 +65,11 @@ def exact_dedup(ds, *, text_col: str = "text", id_col: str = "doc_id", config: E
     are merged in a tiny final step. Sub-grouping by the ACTUAL text inside
     each 64-bit hash run guards against hash collisions merging distinct
     documents.
+
+    ``rank_col`` (optional int column) is inserted in the sort key between
+    text and id: the survivor becomes the min-(rank, id) row per distinct
+    text. Used by :func:`incremental_exact_dedup` to make pre-existing
+    corpus rows win over increment rows.
     """
     import ray.data as rd
 
@@ -65,7 +77,8 @@ def exact_dedup(ds, *, text_col: str = "text", id_col: str = "doc_id", config: E
         add_content_hash, fn_kwargs=dict(text_col=text_col), batch_format="pyarrow",
         batch_size=config.batch_size,
     )
-    sorted_ds = ds.sort(["_h", text_col, id_col])
+    sort_keys = ["_h", text_col] + ([rank_col] if rank_col else []) + [id_col]
+    sorted_ds = ds.sort(sort_keys)
 
     def block_pass(b: pa.Table) -> pa.Table:
         # one batch == one sorted block (batch_size=None): a contiguous
@@ -109,7 +122,10 @@ def exact_dedup(ds, *, text_col: str = "text", id_col: str = "doc_id", config: E
     if edge_rows.num_rows == 0:
         return interior
     idx = pc.sort_indices(
-        edge_rows, sort_keys=[("_h", "ascending"), (text_col, "ascending"), (id_col, "ascending")]
+        edge_rows,
+        sort_keys=[("_h", "ascending"), (text_col, "ascending")]
+        + ([(rank_col, "ascending")] if rank_col else [])
+        + [(id_col, "ascending")],
     )
     e = edge_rows.take(idx)
     eh = e["_h"].to_numpy(zero_copy_only=False)
@@ -122,6 +138,43 @@ def exact_dedup(ds, *, text_col: str = "text", id_col: str = "doc_id", config: E
         merged.schema.get_field_index("dupes"), "dupes", pa.array(sums, pa.int64())
     )
     return interior.union(rd.from_arrow(merged))
+
+
+def incremental_exact_dedup(
+    corpus_ds,
+    increment_ds,
+    *,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    config: EngineConfig = DEFAULT,
+):
+    """Dedup a NEW increment against an EXISTING corpus — the every-ingest
+    round of a training-data pipeline. Returns only increment rows whose
+    text does not appear in the corpus (min-id survivor per distinct new
+    text, with the in-increment duplicate count).
+
+    Fully distributed: both sides are tagged with a rank column (corpus 0,
+    increment 1) and flow through the same range-sort/run machinery as
+    :func:`exact_dedup` — no corpus-side broadcast or driver materialization,
+    so the corpus can be arbitrarily large. A run containing any corpus row
+    yields a rank-0 survivor and is dropped; survivors with rank 1 are
+    exactly the texts new to the corpus."""
+
+    def tag(rank):
+        def fn(b: pa.Table) -> pa.Table:
+            return b.append_column("_rank", pa.array(np.full(b.num_rows, rank, np.int64)))
+
+        return fn
+
+    both = corpus_ds.map_batches(tag(0), batch_format="pyarrow").union(
+        increment_ds.map_batches(tag(1), batch_format="pyarrow")
+    )
+    dd = exact_dedup(both, text_col=text_col, id_col=id_col, rank_col="_rank", config=config)
+
+    def keep_new(b: pa.Table) -> pa.Table:
+        return b.filter(pc.equal(b["_rank"], 1)).drop_columns(["_rank"])
+
+    return dd.map_batches(keep_new, batch_format="pyarrow")
 
 
 # -- shingles / minhash ------------------------------------------------------

@@ -155,6 +155,30 @@ def test_exact_dedup_with_planted_dupes(ray_session):
     assert got == {"aa": (1, 2), "bb": (2, 2), "cc": (4, 1)}
 
 
+def test_incremental_exact_dedup(ray_session):
+    import ray.data as rd
+
+    corpus = pa.table(
+        {
+            "doc_id": pa.array([1, 2, 3], pa.int64()),
+            "text": pa.array(["aa", "bb", "aa"]),
+        }
+    )
+    # "aa"/"bb" already in corpus -> dropped; "dd" new twice -> one survivor
+    # with dupes=2; "ee" new once.
+    inc = pa.table(
+        {
+            "doc_id": pa.array([10, 11, 12, 13, 14], pa.int64()),
+            "text": pa.array(["aa", "dd", "dd", "ee", "bb"]),
+        }
+    )
+    out = dedup.incremental_exact_dedup(
+        rd.from_arrow(corpus), rd.from_arrow(inc), config=CONF
+    ).take_all()
+    got = {r["text"]: (r["doc_id"], r["dupes"]) for r in out}
+    assert got == {"dd": (11, 2), "ee": (13, 1)}
+
+
 def test_minhash_lsh_finds_planted_near_dupes(ray_session):
     import ray.data as rd
 
