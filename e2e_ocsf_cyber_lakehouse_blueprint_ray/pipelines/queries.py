@@ -34,6 +34,8 @@ from ..stages import joins as joins_mod
 from ..stages import sketch as sketch_mod
 from ..stages import merge as merge_mod
 from ..stages import similarity as similarity_mod
+from ..stages import decontaminate as decon_mod
+from ..stages import order as order_mod
 from ..stages import text as text_mod
 from ..stages import multimodal as multimodal_mod
 from . import derive
@@ -877,6 +879,78 @@ def q_doc_chunks(sf_dir: str):
     return ds.map_batches(text_mod.sequence_chunks, batch_format="pyarrow")
 
 
+def q_doc_repetition(sf_dir: str):
+    """Intra-doc repetition stats (boilerplate detection): per doc token
+    total / distinct / top-token count+fraction — vectorized in-batch Arrow
+    hash aggregates, no shuffle (stages/text.py::repetition_stats)."""
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+    return ds.map_batches(text_mod.repetition_stats, batch_format="pyarrow")
+
+
+#: epoch salt for the deterministic shuffle — changing it re-permutes the
+#: corpus; must match the oracle's literal.
+SHUFFLE_SALT = "epoch0"
+
+
+def q_shuffle_rank(sf_dir: str):
+    """Deterministic global shuffle for training-data ordering: global rank
+    by md5(doc_id|salt), computed with the two-pass bucket prefix scheme
+    (stages/order.py) — the only shuffle moves one row per md5-high-byte
+    bucket. Reads ONLY the id column."""
+    ds = _read(sf_dir, "documents", ["doc_id"])
+    return order_mod.shuffle_rank(ds, id_col="doc_id", salt=SHUFFLE_SALT)
+
+
+SEQ_PACK_LEN = 512
+
+
+def q_seq_pack(sf_dir: str):
+    """Concat-then-split sequence packing: global token prefix-sum in doc_id
+    order → each doc's start offset / pack window(s) at seq_len=512
+    (stages/order.py::pack_sequences)."""
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+    with_n = ds.map_batches(text_mod.token_count, batch_format="pyarrow").map_batches(
+        lambda b: b.select(["doc_id", "n_tokens"]), batch_format="pyarrow"
+    )
+    return order_mod.pack_sequences(
+        with_n, id_col="doc_id", token_col="n_tokens", seq_len=SEQ_PACK_LEN
+    )
+
+
+#: probe-set membership: doc_id % DECON_MOD == 0 plays the held-out eval set.
+DECON_MOD = 53
+DECON_K = 8
+
+
+def q_decontaminate(sf_dir: str):
+    """Test-set decontamination: flag training docs sharing any 8-token
+    n-gram with the held-out probe docs (doc_id % 53 == 0). Probe grams are
+    broadcast (sorted hashes + strings); the corpus streams through a
+    vectorized rolling-hash membership check with exact verification of
+    hash hits (stages/decontaminate.py)."""
+    docs = _read(sf_dir, "documents", ["doc_id", "text"])
+    probe = docs.map_batches(
+        lambda b: b.filter(
+            pc.equal(_mod_arr(b["doc_id"], DECON_MOD), pa.scalar(0, pa.int64()))
+        ),
+        batch_format="pyarrow",
+    )
+    train = docs.map_batches(
+        lambda b: b.filter(
+            pc.not_equal(_mod_arr(b["doc_id"], DECON_MOD), pa.scalar(0, pa.int64()))
+        ),
+        batch_format="pyarrow",
+    )
+    probe_ref, _n = decon_mod.build_probe_set(probe, k=DECON_K)
+    return decon_mod.mark_contaminated(train, probe_ref, k=DECON_K)
+
+
+def _mod_arr(col, m: int):
+    import pyarrow.compute as _pc
+
+    return _pc.cast(_pc.subtract(col, _pc.multiply(_pc.divide(col, m), m)), pa.int64())
+
+
 #: Mixture-sampling weights per source (deterministic md5-content gates);
 #: every weight must stay < 1.0 so the 4-hex-digit oracle cut is exact.
 MIX_WEIGHTS = {"src0": 0.75, "src1": 0.5, "src2": 0.25, "src3": 0.0625}
@@ -1397,6 +1471,10 @@ def queries() -> dict:
         "q_mixture_sample": q_mixture_sample,
         "q_token_topk": q_token_topk,
         "q_doc_chunks": q_doc_chunks,
+        "q_doc_repetition": q_doc_repetition,
+        "q_shuffle_rank": q_shuffle_rank,
+        "q_seq_pack": q_seq_pack,
+        "q_decontaminate": q_decontaminate,
         "q_curation_pipeline": q_curation_pipeline,
         "q_fingerprint_winnow": q_fingerprint_winnow,
         "q_multimodal_decode": q_multimodal_decode,
@@ -1651,6 +1729,60 @@ def oracle_sql() -> dict:
             SELECT doc_id, chunk_idx,
                    CAST(least(32, n_tokens - chunk_idx * 32) AS BIGINT) AS n_chunk_tokens
             FROM c
+        """,
+        "q_doc_repetition": r"""
+            WITH w AS (SELECT doc_id,
+                              unnest(regexp_split_to_array(trim(text), '\s+')) AS tok
+                       FROM documents),
+            c AS (SELECT doc_id, tok, COUNT(*) AS n FROM w GROUP BY doc_id, tok)
+            SELECT doc_id,
+                   CAST(SUM(n) AS BIGINT) AS n_tokens,
+                   CAST(COUNT(*) AS BIGINT) AS n_distinct,
+                   CAST(MAX(n) AS BIGINT) AS top_count,
+                   CAST(MAX(n) AS DOUBLE) / greatest(SUM(n), 1) AS top_frac
+            FROM c GROUP BY doc_id
+        """,
+        "q_shuffle_rank": f"""
+            SELECT doc_id,
+                   CAST(row_number() OVER (
+                     ORDER BY md5(CAST(doc_id AS VARCHAR) || '|{SHUFFLE_SALT}'), doc_id
+                   ) - 1 AS BIGINT) AS rank
+            FROM documents
+        """,
+        "q_seq_pack": rf"""
+            WITH d AS (SELECT doc_id,
+                              CAST(len(regexp_split_to_array(trim(text), '\s+')) AS BIGINT) AS n_tokens
+                       FROM documents),
+            w AS (SELECT doc_id, n_tokens,
+                         CAST(COALESCE(SUM(n_tokens) OVER (
+                           ORDER BY doc_id ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+                         ), 0) AS BIGINT) AS start_tok
+                  FROM d)
+            SELECT doc_id, n_tokens, start_tok,
+                   start_tok // {SEQ_PACK_LEN} AS pack_id,
+                   start_tok % {SEQ_PACK_LEN} AS pack_offset,
+                   (start_tok + greatest(n_tokens, 1) - 1) // {SEQ_PACK_LEN}
+                     - start_tok // {SEQ_PACK_LEN} + 1 AS n_spans
+            FROM w
+        """,
+        "q_decontaminate": rf"""
+            WITH tok AS (SELECT doc_id,
+                                regexp_split_to_array(trim(text), '\s+') AS t
+                         FROM documents),
+            pos AS (SELECT doc_id, t,
+                           unnest(range(1, len(t) - {DECON_K - 2})) AS i
+                    FROM tok),
+            grams AS (SELECT doc_id,
+                             array_to_string(t[i:i + {DECON_K - 1}], ' ') AS g
+                      FROM pos),
+            probe AS (SELECT DISTINCT g FROM grams WHERE doc_id % {DECON_MOD} = 0),
+            hits AS (SELECT tg.doc_id, COUNT(*) AS n
+                     FROM grams tg JOIN probe p ON tg.g = p.g
+                     WHERE tg.doc_id % {DECON_MOD} <> 0
+                     GROUP BY tg.doc_id)
+            SELECT d.doc_id, CAST(COALESCE(h.n, 0) AS BIGINT) AS n_contaminated
+            FROM documents d LEFT JOIN hits h ON d.doc_id = h.doc_id
+            WHERE d.doc_id % {DECON_MOD} <> 0
         """,
         "q_multimodal_decode": """
             SELECT doc_id AS media_id,

@@ -149,6 +149,46 @@ def fingerprint_md5(batch: pa.Table, *, text_col: str = "text", out_col: str = "
     return batch.append_column(out_col, pa.array(vals, pa.string()))
 
 
+def repetition_stats(
+    batch: pa.Table, *, text_col: str = "text", id_col: str = "doc_id"
+) -> pa.Table:
+    """Intra-document repetition features (boilerplate / TTR detection):
+    per doc, total tokens, distinct tokens, the most-frequent token's count
+    and its fraction of the doc. Vectorized end-to-end: flatten the token
+    lists, one in-batch Arrow ``group_by([row, token])`` then a second
+    ``group_by(row)`` for sum/count/max — both C++ hash aggregates, no
+    Python per row. Purely per-row features → no shuffle ever."""
+    toks = _token_lists(batch[text_col])
+    offsets = toks.offsets.to_numpy(zero_copy_only=False).astype(np.int64)
+    flat = toks.flatten()
+    n_rows = batch.num_rows
+    row_ids = np.repeat(np.arange(n_rows, dtype=np.int64), np.diff(offsets))
+    n_tokens = np.zeros(n_rows, np.int64)
+    n_distinct = np.zeros(n_rows, np.int64)
+    top_count = np.zeros(n_rows, np.int64)
+    if len(flat):
+        per_tok = pa.table({"r": pa.array(row_ids), "tok": flat}).group_by(
+            ["r", "tok"]
+        ).aggregate([("tok", "count")])
+        per_row = per_tok.group_by("r").aggregate(
+            [("tok_count", "sum"), ("tok_count", "count"), ("tok_count", "max")]
+        )
+        r = per_row["r"].to_numpy(zero_copy_only=False).astype(np.int64)
+        n_tokens[r] = per_row["tok_count_sum"].to_numpy(zero_copy_only=False)
+        n_distinct[r] = per_row["tok_count_count"].to_numpy(zero_copy_only=False)
+        top_count[r] = per_row["tok_count_max"].to_numpy(zero_copy_only=False)
+    top_frac = top_count / np.maximum(n_tokens, 1)  # per-row double: bit-stable
+    return pa.table(
+        {
+            id_col: batch[id_col],
+            "n_tokens": pa.array(n_tokens, pa.int64()),
+            "n_distinct": pa.array(n_distinct, pa.int64()),
+            "top_count": pa.array(top_count, pa.int64()),
+            "top_frac": pa.array(top_frac, pa.float64()),
+        }
+    )
+
+
 def token_partial_counts(batch: pa.Table, *, text_col: str = "text") -> pa.Table:
     """Per-batch partial token frequencies — the combiner half of a global
     word count. Flatten the whitespace-token lists and ``value_counts`` them

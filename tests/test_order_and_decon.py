@@ -1,0 +1,114 @@
+"""Ordering primitives (deterministic shuffle, sequence packing) and
+test-set decontamination."""
+
+import numpy as np
+import pyarrow as pa
+import pytest
+
+from e2e_ocsf_cyber_lakehouse_blueprint_ray.stages import decontaminate, order, text
+
+SF = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="module")
+def ids_ds(ray_session):
+    import ray.data as rd
+
+    return rd.read_parquet(f"{SF}/documents.parquet", columns=["doc_id"])
+
+
+def test_shuffle_rank_is_a_permutation(ids_ds):
+    rows = order.shuffle_rank(ids_ds, salt="s").take_all()
+    ranks = sorted(r["rank"] for r in rows)
+    assert ranks == list(range(len(rows)))
+    # determinism: same salt → same rank per id
+    again = {r["doc_id"]: r["rank"] for r in order.shuffle_rank(ids_ds, salt="s").take_all()}
+    assert all(again[r["doc_id"]] == r["rank"] for r in rows)
+
+
+def test_shuffle_rank_salt_reshuffles_and_is_partition_invariant(ray_session):
+    import ray.data as rd
+
+    t = pa.table({"doc_id": pa.array(range(200), pa.int64())})
+    a = {r["doc_id"]: r["rank"] for r in order.shuffle_rank(rd.from_arrow(t), salt="e0").take_all()}
+    b = {r["doc_id"]: r["rank"] for r in order.shuffle_rank(rd.from_arrow(t), salt="e1").take_all()}
+    assert a != b  # salt change permutes
+    # partition-invariance: many tiny blocks, same ranks
+    many = rd.from_arrow(t).repartition(17)
+    c = {r["doc_id"]: r["rank"] for r in order.shuffle_rank(many, salt="e0").take_all()}
+    assert c == a
+
+
+def test_pack_sequences_prefix_invariants(ray_session):
+    import ray.data as rd
+
+    rng = np.random.default_rng(7)
+    n = rng.integers(1, 40, size=300).astype(np.int64)
+    t = pa.table(
+        {"doc_id": pa.array(range(300), pa.int64()), "n_tokens": pa.array(n, pa.int64())}
+    )
+    out = order.pack_sequences(
+        rd.from_arrow(t).repartition(9), seq_len=64, docs_per_bucket=32
+    ).take_all()
+    out.sort(key=lambda r: r["doc_id"])
+    # start_tok is the exclusive prefix sum in doc_id order
+    expect = np.concatenate([[0], np.cumsum(n)[:-1]])
+    got = np.array([r["start_tok"] for r in out])
+    assert np.array_equal(got, expect)
+    for r in out:
+        assert r["pack_id"] == r["start_tok"] // 64
+        assert r["pack_offset"] == r["start_tok"] % 64
+        last_tok = r["start_tok"] + max(r["n_tokens"], 1) - 1
+        assert r["n_spans"] == last_tok // 64 - r["pack_id"] + 1
+        assert r["n_spans"] >= 1
+
+
+def test_repetition_stats_kernel():
+    b = pa.table(
+        {
+            "doc_id": pa.array([0, 1, 2], pa.int64()),
+            "text": pa.array(["a a a b", "x y z", ""], pa.string()),
+        }
+    )
+    out = text.repetition_stats(b).to_pylist()
+    assert out[0] == {
+        "doc_id": 0, "n_tokens": 4, "n_distinct": 2, "top_count": 3, "top_frac": 0.75,
+    }
+    assert out[1]["n_distinct"] == 3 and out[1]["top_count"] == 1
+    assert out[2]["n_tokens"] == 1  # "" splits to [''] like the SQL oracle
+
+
+def test_decontaminate_planted_grams(ray_session):
+    import ray.data as rd
+
+    probe_text = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    docs = pa.table(
+        {
+            "doc_id": pa.array([0, 1, 2, 3], pa.int64()),
+            "text": pa.array(
+                [
+                    probe_text,  # the probe doc
+                    # contains tokens 1..8 of the probe (one 8-gram, 2 positions? no: 1 window)
+                    "xx beta gamma delta epsilon zeta eta theta iota yy",
+                    "totally clean text with no overlap at all here ok",
+                    # contains two probe 8-gram positions (tokens 0..9 intact)
+                    "pad " + probe_text + " pad",
+                ],
+                pa.string(),
+            ),
+        }
+    )
+    ds = rd.from_arrow(docs)
+    probe = ds.map_batches(
+        lambda b: b.filter(pa.compute.equal(b["doc_id"], 0)), batch_format="pyarrow"
+    )
+    train = ds.map_batches(
+        lambda b: b.filter(pa.compute.not_equal(b["doc_id"], 0)), batch_format="pyarrow"
+    )
+    ref, n_grams = decontaminate.build_probe_set(probe, k=8)
+    assert n_grams == 3  # 10 tokens → 3 sliding 8-grams
+    out = {r["doc_id"]: r["n_contaminated"] for r in
+           decontaminate.mark_contaminated(train, ref, k=8).take_all()}
+    assert out == {1: 1, 2: 0, 3: 3}
+    dropped = decontaminate.mark_contaminated(train, ref, k=8, drop_clean=True).take_all()
+    assert sorted(r["doc_id"] for r in dropped) == [1, 3]
