@@ -36,6 +36,7 @@ from ..stages import merge as merge_mod
 from ..stages import similarity as similarity_mod
 from ..stages import decontaminate as decon_mod
 from ..stages import order as order_mod
+from ..stages import sample as sample_mod
 from ..stages import text as text_mod
 from ..stages import multimodal as multimodal_mod
 from . import derive
@@ -951,6 +952,33 @@ def _mod_arr(col, m: int):
     return _pc.cast(_pc.subtract(col, _pc.multiply(_pc.divide(col, m), m)), pa.int64())
 
 
+#: token budget for greedy longest-first corpus selection (≈ half the
+#: fixture corpus) — must match the oracle literal.
+SELECT_BUDGET = 12_000
+
+
+def q_budget_select(sf_dir: str):
+    """Token-budget corpus selection: keep the longest documents (ties by
+    id) until the global token budget is hit — exclusive prefix-sum cutoff
+    via the bucketed two-pass scheme (stages/order.py::budget_select)."""
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+    with_n = ds.map_batches(text_mod.token_count, batch_format="pyarrow").map_batches(
+        lambda b: b.select(["doc_id", "n_tokens"]), batch_format="pyarrow"
+    )
+    return order_mod.budget_select(with_n, budget=SELECT_BUDGET)
+
+
+STRATA_Q = 25
+
+
+def q_stratified_sample(sf_dir: str):
+    """Exact-quota stratified sample: per language, the 25 docs with the
+    smallest (md5(text), doc_id) — combiner-shaped like a distributed top-k
+    (stages/sample.py), deterministic at any partitioning."""
+    ds = _read(sf_dir, "documents", ["doc_id", "text", "lang"])
+    return sample_mod.stratified_topq(ds, group_col="lang", q=STRATA_Q)
+
+
 #: Mixture-sampling weights per source (deterministic md5-content gates);
 #: every weight must stay < 1.0 so the 4-hex-digit oracle cut is exact.
 MIX_WEIGHTS = {"src0": 0.75, "src1": 0.5, "src2": 0.25, "src3": 0.0625}
@@ -1475,6 +1503,8 @@ def queries() -> dict:
         "q_shuffle_rank": q_shuffle_rank,
         "q_seq_pack": q_seq_pack,
         "q_decontaminate": q_decontaminate,
+        "q_budget_select": q_budget_select,
+        "q_stratified_sample": q_stratified_sample,
         "q_curation_pipeline": q_curation_pipeline,
         "q_fingerprint_winnow": q_fingerprint_winnow,
         "q_multimodal_decode": q_multimodal_decode,
@@ -1783,6 +1813,25 @@ def oracle_sql() -> dict:
             SELECT d.doc_id, CAST(COALESCE(h.n, 0) AS BIGINT) AS n_contaminated
             FROM documents d LEFT JOIN hits h ON d.doc_id = h.doc_id
             WHERE d.doc_id % {DECON_MOD} <> 0
+        """,
+        "q_budget_select": rf"""
+            WITH d AS (SELECT doc_id,
+                              CAST(len(regexp_split_to_array(trim(text), '\s+')) AS BIGINT) AS n_tokens
+                       FROM documents),
+            w AS (SELECT doc_id, n_tokens,
+                         CAST(COALESCE(SUM(n_tokens) OVER (
+                           ORDER BY n_tokens DESC, doc_id
+                           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+                         ), 0) AS BIGINT) AS start_tok
+                  FROM d)
+            SELECT doc_id, n_tokens, start_tok FROM w
+            WHERE start_tok < {SELECT_BUDGET}
+        """,
+        "q_stratified_sample": f"""
+            SELECT doc_id, lang FROM documents
+            QUALIFY row_number() OVER (
+              PARTITION BY lang ORDER BY md5(text), doc_id
+            ) <= {STRATA_Q}
         """,
         "q_multimodal_decode": """
             SELECT doc_id AS media_id,

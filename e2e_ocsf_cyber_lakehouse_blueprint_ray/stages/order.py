@@ -38,17 +38,25 @@ def exclusive_bucket_offsets(
 ) -> tuple[dict[int, int], int]:
     """Exclusive prefix offset per bucket (ascending bucket order).
 
-    ``weight_col=None`` counts rows; otherwise sums the weight. The shuffle
-    under the hood is a combiner groupby whose output is one row per
-    DISTINCT bucket — the only thing that reaches the driver.
-    Returns (offsets, grand_total).
+    ``weight_col=None`` counts rows; otherwise sums the weight. A per-batch
+    COMBINER pre-aggregates before the groupby, so the shuffle moves at most
+    buckets × blocks partial rows — never the corpus — and only the final
+    per-bucket sums reach the driver. Returns (offsets, grand_total).
     """
-    if weight_col is None:
-        agg = ds.groupby(bucket_col).count()
-        vcol = "count()"
-    else:
-        agg = ds.groupby(bucket_col).sum(weight_col)
-        vcol = f"sum({weight_col})"
+
+    def partial(b: pa.Table) -> pa.Table:
+        w = (
+            pa.array(np.ones(b.num_rows, np.int64))
+            if weight_col is None
+            else pc.cast(b[weight_col], pa.int64())
+        )
+        g = pa.table({bucket_col: b[bucket_col], "_w": w}).group_by(
+            bucket_col
+        ).aggregate([("_w", "sum")])
+        return pa.table({bucket_col: g[bucket_col], "_w": g["_w_sum"]})
+
+    agg = ds.map_batches(partial, batch_format="pyarrow").groupby(bucket_col).sum("_w")
+    vcol = "sum(_w)"
     rows = agg.take_all()  # bucket-cardinality rows, by construction small
     rows.sort(key=lambda r: r[bucket_col])
     offsets: dict[int, int] = {}
@@ -101,6 +109,53 @@ def shuffle_rank(ds, *, id_col: str = "doc_id", salt: str = "", out_col: str = "
         )
 
     return keyed.groupby("_bucket").map_groups(rank_group, batch_format="pyarrow")
+
+
+def ordered_prefix_sums(
+    ds, *, bucket_col: str, sort_keys: list[str], weight_col: str, out_col: str
+):
+    """Exclusive running total of ``weight_col`` in (bucket asc, sort_keys
+    asc) global order — the generic second half of the two-pass scheme.
+    Appends ``out_col`` to every row; callers provide the ``bucket_col``
+    (which must be an order-prefix of the target global order)."""
+    offsets, _ = exclusive_bucket_offsets(ds, bucket_col, weight_col=weight_col)
+
+    def g(t: pa.Table) -> pa.Table:
+        idx = pc.sort_indices(t, sort_keys=[(k, "ascending") for k in sort_keys])
+        t = t.take(idx)
+        n = t[weight_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        start = offsets[t[bucket_col][0].as_py()] + np.concatenate(
+            [[0], np.cumsum(n)[:-1]]
+        ).astype(np.int64)
+        return t.append_column(out_col, pa.array(start, pa.int64()))
+
+    return ds.groupby(bucket_col).map_groups(g, batch_format="pyarrow")
+
+
+def budget_select(ds, *, id_col: str = "doc_id", token_col: str = "n_tokens", budget: int):
+    """Token-budget corpus selection: greedily keep the LONGEST documents
+    (ties by id) until the global token budget is reached — a corpus-sizing
+    primitive for training-data curation. A doc is kept iff the running
+    token total BEFORE it is under the budget, so the result is exactly the
+    SQL window ``SUM ... OVER (ORDER BY n_tokens DESC, id)`` cutoff and is
+    partition/cluster-size invariant. Bucket = −n_tokens (ascending bucket
+    order ⇔ longest-first); bucket cardinality = distinct doc lengths."""
+
+    def add_bucket(b: pa.Table) -> pa.Table:
+        n = b[token_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        return b.append_column("_bucket", pa.array(-n, pa.int64()))
+
+    keyed = ds.map_batches(add_bucket, batch_format="pyarrow")
+    pre = ordered_prefix_sums(
+        keyed, bucket_col="_bucket", sort_keys=[id_col], weight_col=token_col,
+        out_col="start_tok",
+    )
+
+    def keep(b: pa.Table) -> pa.Table:
+        b = b.filter(pc.less(b["start_tok"], budget))
+        return b.select([id_col, token_col, "start_tok"])
+
+    return pre.map_batches(keep, batch_format="pyarrow")
 
 
 # -- sequence packing --------------------------------------------------------

@@ -63,6 +63,68 @@ def test_pack_sequences_prefix_invariants(ray_session):
         assert r["n_spans"] >= 1
 
 
+def test_budget_select_longest_first_cutoff(ray_session):
+    import ray.data as rd
+
+    rng = np.random.default_rng(11)
+    n = rng.integers(1, 50, size=200).astype(np.int64)
+    t = pa.table(
+        {"doc_id": pa.array(range(200), pa.int64()), "n_tokens": pa.array(n, pa.int64())}
+    )
+    budget = int(n.sum() // 3)
+    out = order.budget_select(rd.from_arrow(t).repartition(7), budget=budget).take_all()
+    # reference: greedy longest-first (ties by id), keep while running total < budget
+    order_ids = sorted(range(200), key=lambda i: (-n[i], i))
+    acc, expect = 0, set()
+    for i in order_ids:
+        if acc < budget:
+            expect.add(i)
+        acc += n[i]
+    assert {r["doc_id"] for r in out} == expect
+    # start_tok consistent with that order
+    got = {r["doc_id"]: r["start_tok"] for r in out}
+    acc = 0
+    for i in order_ids:
+        if i in got:
+            assert got[i] == acc
+        acc += n[i]
+
+
+def test_stratified_topq_exact_quota_partition_invariant(ray_session):
+    import hashlib
+
+    import ray.data as rd
+
+    from e2e_ocsf_cyber_lakehouse_blueprint_ray.stages import sample
+
+    groups = [f"g{i % 3}" for i in range(90)]
+    texts = [f"doc number {i} content" for i in range(90)]
+    t = pa.table(
+        {
+            "doc_id": pa.array(range(90), pa.int64()),
+            "lang": pa.array(groups, pa.string()),
+            "text": pa.array(texts, pa.string()),
+        }
+    )
+    out = sample.stratified_topq(
+        rd.from_arrow(t).repartition(13), group_col="lang", q=5
+    ).take_all()
+    per = {}
+    for r in out:
+        per.setdefault(r["lang"], set()).add(r["doc_id"])
+    assert all(len(v) == 5 for v in per.values()) and len(per) == 3
+    # matches the driver-side definition: smallest (md5(text), id) per group
+    for g in per:
+        ids = [i for i in range(90) if groups[i] == g]
+        ids.sort(key=lambda i: (hashlib.md5(texts[i].encode()).hexdigest(), i))
+        assert per[g] == set(ids[:5])
+    # partition invariance
+    again = sample.stratified_topq(rd.from_arrow(t), group_col="lang", q=5).take_all()
+    assert {(r["lang"], r["doc_id"]) for r in again} == {
+        (r["lang"], r["doc_id"]) for r in out
+    }
+
+
 def test_repetition_stats_kernel():
     b = pa.table(
         {
