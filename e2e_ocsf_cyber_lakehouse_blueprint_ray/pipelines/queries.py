@@ -26,8 +26,10 @@ import pyarrow as pa
 import pyarrow.compute as pc
 
 from .. import config as cfg
+from ..stages import changes as changes_mod
 from ..stages import cluster as cluster_mod
 from ..stages import compact as compact_mod
+from ..stages import delete as delete_mod
 from ..stages import dedup as dedup_mod
 from ..stages import expire as expire_mod
 from ..stages import joins as joins_mod
@@ -734,6 +736,54 @@ def q_maint_rollback_scan(sf_dir: str):
         merge_mod.merge(t, src)
         t.rollback(pin)
         return derive.sorted_scan_arrow(t)
+    finally:
+        shutil.rmtree(work, ignore_errors=True)
+
+
+def q_maint_delete_scan(sf_dir: str):
+    """Row-level DELETE WHERE ts IN [lo, hi] (copy-on-write): after
+    clustering, manifest stats classify files as disjoint (untouched),
+    contained (dropped with zero IO) or straddling (rewritten); the scan
+    must equal the transcript minus the range."""
+    work = tempfile.mkdtemp(prefix="maint-", dir=cfg.scratch_dir())
+    try:
+        t = derive.build_maintenance_table(sf_dir, os.path.join(work, "tbl"), CONF)
+        compact_mod.compact(t)
+        cluster_mod.cluster(t, mode="auto", curve="zorder")
+        lo = int(np.datetime64("2024-01-08T00:00:00.000000").astype("int64"))
+        hi = int(np.datetime64("2024-01-14T23:59:59.999999").astype("int64"))
+        delete_mod.delete_where(t, "ts", lo, hi)
+        return derive.sorted_scan_arrow(t)
+    finally:
+        shutil.rmtree(work, ignore_errors=True)
+
+
+def q_table_changes(sf_dir: str):
+    """Snapshot change feed (Delta CDF analog): compact, pin, MERGE, then
+    diff the two snapshots. Only manifest-diff files are read; carried rows
+    in copy-on-write rewritten files cancel in the netting, so the feed is
+    exactly the MERGE's updates (old+new), deletes and inserts."""
+    work = tempfile.mkdtemp(prefix="maint-", dir=cfg.scratch_dir())
+    try:
+        t = derive.build_maintenance_table(sf_dir, os.path.join(work, "tbl"), CONF)
+        compact_mod.compact(t)
+        pre = t.current_snapshot_id()
+        src = derive.derived_merge_source(derive.sorted_scan_arrow(t))
+        merge_mod.merge(t, src)
+        got = changes_mod.snapshot_changes(t, pre, t.current_snapshot_id())
+        batches = list(got.iter_batches(batch_size=None, batch_format="pyarrow"))
+        if not batches:
+            return pa.schema(got.schema().base_schema).empty_table()
+        out = pa.concat_tables(batches, promote_options="default")
+        idx = pc.sort_indices(
+            out,
+            sort_keys=[
+                ("conv_id", "ascending"),
+                ("turn_idx", "ascending"),
+                ("change", "ascending"),
+            ],
+        )
+        return out.take(idx)
     finally:
         shutil.rmtree(work, ignore_errors=True)
 
@@ -1484,6 +1534,8 @@ def queries() -> dict:
         "q_maint_optimize_scan": q_maint_optimize_scan,
         "q_maint_rollback_scan": q_maint_rollback_scan,
         "q_maint_time_scan": q_maint_time_scan,
+        "q_maint_delete_scan": q_maint_delete_scan,
+        "q_table_changes": q_table_changes,
         "q_conv_stats": q_conv_stats,
         "q_conv_render": q_conv_render,
         # training-data ops
@@ -1677,6 +1729,15 @@ def oracle_sql() -> dict:
         "q_maint_rollback_scan": _T + _TRANSCRIPT_SELECT,
         "q_maint_time_scan": _T + _TRANSCRIPT_SELECT
         + " WHERE ts >= TIMESTAMP '2024-01-08' AND ts <= TIMESTAMP '2024-01-14 23:59:59.999999'",
+        "q_maint_delete_scan": _T + _TRANSCRIPT_SELECT
+        + " WHERE ts < TIMESTAMP '2024-01-08' OR ts > TIMESTAMP '2024-01-14 23:59:59.999999'",
+        "q_table_changes": _M + """
+            SELECT conv_id, turn_idx, role, text, tool, ts, 'added' AS change
+            FROM (SELECT * FROM merged EXCEPT SELECT * FROM t)
+            UNION ALL
+            SELECT conv_id, turn_idx, role, text, tool, ts, 'removed' AS change
+            FROM (SELECT * FROM t EXCEPT SELECT * FROM merged)
+        """,
         "q_conv_render": _T + """
             SELECT conv_id,
                    string_agg(role || ': ' || text, chr(10) ORDER BY turn_idx) AS rendered,

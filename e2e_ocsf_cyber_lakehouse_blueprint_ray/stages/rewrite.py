@@ -94,6 +94,7 @@ class BinRewriter:
         cluster_ts_col: str = "ts",
         extra_rows_ref=None,
         delete_keys_ref=None,
+        delete_range: tuple | None = None,
         fail_after: int | None = None,
     ):
         import ray
@@ -109,6 +110,9 @@ class BinRewriter:
         self.cluster_ts_col = cluster_ts_col
         self.extra = ray.get(extra_rows_ref) if extra_rows_ref is not None else {}
         self.delete_keys = ray.get(delete_keys_ref) if delete_keys_ref is not None else {}
+        #: (col, lo, hi): drop rows with lo <= col <= hi (DELETE WHERE rewrite;
+        #: timestamps compare as int64 µs, matching manifest stats)
+        self.delete_range = delete_range
         self.stats_cols = self.table.stats_cols() or None
         self.fail_after = fail_after
         self.done = 0
@@ -194,6 +198,13 @@ class BinRewriter:
         partition = unit["partition"]
         t = self._read_inputs(inputs)
         t = self._apply_merge(t, partition, bool(unit.get("apply_extra", True)))
+        if t is not None and self.delete_range is not None:
+            col, lo, hi = self.delete_range
+            c = t[col]
+            if pa.types.is_timestamp(c.type):
+                c = c.cast(pa.int64())
+            hit = pc.and_kleene(pc.greater_equal(c, lo), pc.less_equal(c, hi))
+            t = t.filter(pc.invert(pc.fill_null(hit, False)))
         entries: list[dict] = []
         if t is not None and t.num_rows:
             t = self._sorted(t)

@@ -1,0 +1,135 @@
+"""Snapshot change feed (CDC) + row-level DELETE WHERE.
+
+Invariants: a pure-maintenance diff is EMPTY (copy-on-write carried rows
+cancel), a merge diff equals the brute-force row-set difference, an append
+diff is adds-only; DELETE WHERE matches a plain filter and takes the
+file-drop fast path for files fully contained in the range."""
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+
+from e2e_ocsf_cyber_lakehouse_blueprint_ray import synth
+from e2e_ocsf_cyber_lakehouse_blueprint_ray.pipelines import derive
+from e2e_ocsf_cyber_lakehouse_blueprint_ray.stages import (
+    changes as changes_mod,
+    compact as compact_mod,
+    delete as delete_mod,
+    merge as merge_mod,
+)
+from e2e_ocsf_cyber_lakehouse_blueprint_ray.state import lineage
+from tests.test_table import make_table, sorted_scan
+
+
+def _collect(ds) -> pa.Table:
+    batches = list(ds.iter_batches(batch_size=None, batch_format="pyarrow"))
+    if not batches:
+        return pa.schema(ds.schema().base_schema).empty_table()
+    return pa.concat_tables(batches, promote_options="default")
+
+
+def _row_keys(t: pa.Table) -> set:
+    cols = ["conv_id", "turn_idx", "role", "text", "tool", "ts"]
+    return set(zip(*[t[c].to_pylist() for c in cols]))
+
+
+def test_pure_maintenance_diff_is_empty(tmp_table_dir, ray_session):
+    data = synth.transcripts(0.001)
+    t = make_table(tmp_table_dir, data)
+    pre = t.current_snapshot_id()
+    compact_mod.compact(t)
+    diff = _collect(changes_mod.snapshot_changes(t, pre, t.current_snapshot_id()))
+    assert diff.num_rows == 0
+
+
+def test_merge_diff_matches_bruteforce(tmp_table_dir, ray_session):
+    data = synth.transcripts(0.001)
+    t = make_table(tmp_table_dir, data)
+    compact_mod.compact(t)
+    pre = t.current_snapshot_id()
+    before = sorted_scan(t)
+    src = derive.derived_merge_source(before)
+    merge_mod.merge(t, src)
+    after = sorted_scan(t)
+
+    diff = _collect(changes_mod.snapshot_changes(t, pre, t.current_snapshot_id()))
+    added = diff.filter(pc.equal(diff["change"], "added")).drop_columns(["change"])
+    removed = diff.filter(pc.equal(diff["change"], "removed")).drop_columns(["change"])
+    b, a = _row_keys(before), _row_keys(after)
+    assert _row_keys(added) == a - b
+    assert _row_keys(removed) == b - a
+    assert added.num_rows == len(a - b)  # one row per distinct change
+    assert removed.num_rows == len(b - a)
+
+
+def test_append_diff_is_adds_only(tmp_table_dir, ray_session):
+    data = synth.transcripts(0.001)
+    half = data.slice(0, data.num_rows // 2)
+    rest = data.slice(data.num_rows // 2)
+    t = make_table(tmp_table_dir, half)
+    pre = t.current_snapshot_id()
+    t.write_table(rest, rows_per_file=300, name_prefix="wave2")
+    diff = _collect(changes_mod.snapshot_changes(t, pre, t.current_snapshot_id()))
+    assert set(diff["change"].to_pylist()) == {"added"}
+    assert _row_keys(diff.drop_columns(["change"])) == _row_keys(rest)
+
+
+def _ts_range(data: pa.Table, lo_q=0.3, hi_q=0.6) -> tuple[int, int]:
+    ts = np.sort(data["ts"].cast(pa.int64()).to_numpy(zero_copy_only=False))
+    return int(ts[int(len(ts) * lo_q)]), int(ts[int(len(ts) * hi_q)])
+
+
+def test_delete_where_matches_filter(tmp_table_dir, ray_session):
+    data = synth.transcripts(0.001)
+    t = make_table(tmp_table_dir, data)
+    compact_mod.compact(t)
+    lo, hi = _ts_range(data)
+    sid = delete_mod.delete_where(t, "ts", lo, hi)
+    assert sid == t.current_snapshot_id()
+    ts64 = data["ts"].cast(pa.int64())
+    keep = pc.or_(pc.less(ts64, lo), pc.greater(ts64, hi))
+    expected = data.filter(keep)
+    expected = expected.take(
+        pc.sort_indices(
+            expected, sort_keys=[("conv_id", "ascending"), ("turn_idx", "ascending")]
+        )
+    )
+    assert sorted_scan(t).equals(expected)
+    # no-match range: no new snapshot
+    out_of_range = int(ts64.cast(pa.int64()).to_numpy(zero_copy_only=False).max()) + 10**9
+    assert delete_mod.delete_where(t, "ts", out_of_range, out_of_range + 1) == sid
+
+
+def test_delete_where_drops_contained_files_without_rewrite(tmp_table_dir, ray_session):
+    data = synth.transcripts(0.001)
+    # ts-sorted write → each file covers a consecutive ts range, so a wide
+    # delete range fully contains interior files (the zero-IO fast path)
+    data = data.take(pc.sort_indices(data, sort_keys=[("ts", "ascending")]))
+    t = make_table(tmp_table_dir, data, rows_per_file=200)
+    pre_paths = set(t.entries()["path"].to_pylist())
+    assert len(pre_paths) > 6
+    lo, hi = _ts_range(data, 0.2, 0.8)
+    parent = t.current_snapshot_id()
+    delete_mod.delete_where(t, "ts", lo, hi)
+    post_paths = set(t.entries()["path"].to_pylist())
+
+    # rewritten (straddling) inputs are recorded in the delete job's lineage
+    job_id = lineage.job_id_for("delete", parent, f"delete:ts:{lo}:{hi}")
+    log = lineage.read_log(t.dir)
+    log = log.filter(pc.equal(log["job_id"], job_id))
+    rewritten_inputs: set[str] = set()
+    for inputs in log["input_files"].to_pylist():
+        rewritten_inputs.update(inputs)
+    dropped = pre_paths - post_paths - rewritten_inputs
+    untouched = pre_paths & post_paths
+    assert dropped, "expected at least one contained file dropped with zero IO"
+    assert untouched, "expected disjoint files to survive untouched"
+    # and the data is still right
+    ts64 = data["ts"].cast(pa.int64())
+    expected = data.filter(pc.or_(pc.less(ts64, lo), pc.greater(ts64, hi)))
+    expected = expected.take(
+        pc.sort_indices(
+            expected, sort_keys=[("conv_id", "ascending"), ("turn_idx", "ascending")]
+        )
+    )
+    assert sorted_scan(t).equals(expected)
