@@ -74,6 +74,43 @@ def test_append_diff_is_adds_only(tmp_table_dir, ray_session):
     assert _row_keys(diff.drop_columns(["change"])) == _row_keys(rest)
 
 
+def test_delete_diff_is_removes_only(tmp_table_dir, ray_session):
+    """CDC across a DELETE: rewritten straddling files carry most rows, so
+    the netting must cancel everything except the actually-deleted rows."""
+    data = synth.transcripts(0.001)
+    t = make_table(tmp_table_dir, data)
+    compact_mod.compact(t)
+    pre = t.current_snapshot_id()
+    lo, hi = _ts_range(data)
+    delete_mod.delete_where(t, "ts", lo, hi)
+    diff = _collect(changes_mod.snapshot_changes(t, pre, t.current_snapshot_id()))
+    assert set(diff["change"].to_pylist()) == {"removed"}
+    ts64 = data["ts"].cast(pa.int64())
+    deleted = data.filter(
+        pc.and_(pc.greater_equal(ts64, lo), pc.less_equal(ts64, hi))
+    )
+    assert _row_keys(diff.drop_columns(["change"])) == _row_keys(deleted)
+
+
+def test_delete_single_conversation(tmp_table_dir, ray_session):
+    """Targeted erasure of one conv_id (GDPR-style): string-typed stats
+    range [conv, conv]; partition pruning + stats skip every other file."""
+    data = synth.transcripts(0.001)
+    t = make_table(tmp_table_dir, data)
+    compact_mod.compact(t)
+    conv = data["conv_id"][0].as_py()
+    delete_mod.delete_where(t, "conv_id", conv, conv)
+    got = sorted_scan(t)
+    assert pc.sum(pc.cast(pc.equal(got["conv_id"], conv), pa.int64())).as_py() == 0
+    expected = data.filter(pc.invert(pc.equal(data["conv_id"], conv)))
+    expected = expected.take(
+        pc.sort_indices(
+            expected, sort_keys=[("conv_id", "ascending"), ("turn_idx", "ascending")]
+        )
+    )
+    assert got.equals(expected)
+
+
 def _ts_range(data: pa.Table, lo_q=0.3, hi_q=0.6) -> tuple[int, int]:
     ts = np.sort(data["ts"].cast(pa.int64()).to_numpy(zero_copy_only=False))
     return int(ts[int(len(ts) * lo_q)]), int(ts[int(len(ts) * hi_q)])

@@ -13,7 +13,7 @@ from hypothesis import strategies as st
 from e2e_ocsf_cyber_lakehouse_blueprint_ray import config as cfg
 from e2e_ocsf_cyber_lakehouse_blueprint_ray import synth
 from e2e_ocsf_cyber_lakehouse_blueprint_ray.schema import TRANSCRIPT, TRANSCRIPT_STATS_COLS
-from e2e_ocsf_cyber_lakehouse_blueprint_ray.stages import cluster, compact, expire, merge
+from e2e_ocsf_cyber_lakehouse_blueprint_ray.stages import cluster, compact, delete, expire, merge
 from e2e_ocsf_cyber_lakehouse_blueprint_ray.table import Table
 
 CONF = cfg.test_config(num_partitions=4)
@@ -51,7 +51,7 @@ def ordered(t: pa.Table) -> pa.Table:
 
 
 OPS = st.lists(
-    st.sampled_from(["compact", "cluster-z", "cluster-h", "merge", "expire"]),
+    st.sampled_from(["compact", "cluster-z", "cluster-h", "merge", "expire", "delete"]),
     min_size=1,
     max_size=4,
 )
@@ -97,6 +97,22 @@ def test_random_op_sequences_preserve_scan(
                 expected = synth.apply_merge_expected(expected, src)
         elif op == "expire":
             expire.expire_snapshots(t, keep_last=1)
+        elif op == "delete":
+            # deterministic mid-quantile ts range; skip if it would empty
+            # the table (read paths on zero-file tables are not the point)
+            import numpy as np
+
+            ts_sorted = np.sort(
+                expected["ts"].cast(pa.int64()).to_numpy(zero_copy_only=False)
+            )
+            lo = int(ts_sorted[int(len(ts_sorted) * 0.35)])
+            hi = int(ts_sorted[int(len(ts_sorted) * 0.55)])
+            t64 = expected["ts"].cast(pa.int64())
+            keep = pc.or_(pc.less(t64, lo), pc.greater(t64, hi))
+            after = expected.filter(keep)
+            if after.num_rows:
+                delete.delete_where(t, "ts", lo, hi)
+                expected = after
         # invariant 1: scan equality after EVERY op
         assert ordered(t.read_arrow()).equals(ordered(expected)), f"after {op} in {ops}"
     # invariant 3: manifest stats equal recomputation for every live file
