@@ -1170,6 +1170,24 @@ def q_ann_ivf(sf_dir: str):
     return similarity_mod.ivf_topk(rd.from_arrow(t), mat[qm], ids[qm], cent, k=10, nprobe=4, config=CONF)
 
 
+def q_kmeans_clusters(sf_dir: str):
+    """Distributed Lloyd k-means over the embedding table (one streaming
+    pass per iteration, O(blocks)·K·d partials to the driver, no shuffle)
+    → per-cluster member counts. Rows-only: no SQL engine runs the same
+    iterative algorithm; blob recovery is asserted in tests."""
+    import ray.data as rd
+
+    ds = _read(sf_dir, "embeddings", ["vec_id", "embedding"])
+    cent = similarity_mod.kmeans_fit_streaming(ds, 8, iters=6, seed=11, config=CONF)
+    assigned = similarity_mod.add_centroid_assignment(ds, cent, config=CONF)
+    from ray.data.aggregate import Count
+
+    out = assigned.groupby("centroid").aggregate(Count())
+    return out.map_batches(
+        lambda b: b.rename_columns(["centroid", "n_vectors"]), batch_format="pyarrow"
+    )
+
+
 def q_embedding_near_dup(sf_dir: str):
     out = dedup_mod.embedding_near_dup_pairs(
         _read(sf_dir, "embeddings", ["vec_id", "embedding"]), threshold=0.95, config=CONF
@@ -1565,6 +1583,7 @@ def queries() -> dict:
         "q_ngram_jaccard_lsh": q_ngram_jaccard_lsh,
         "q_ann_topk": q_ann_topk,
         "q_ann_ivf": q_ann_ivf,
+        "q_kmeans_clusters": q_kmeans_clusters,
         "q_embedding_near_dup": q_embedding_near_dup,
         "q_dedup_minhash": q_dedup_minhash,
         "q_dedup_simhash": q_dedup_simhash,

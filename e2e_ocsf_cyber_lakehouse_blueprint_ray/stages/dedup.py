@@ -641,7 +641,7 @@ def embedding_near_dup_pairs(ds, *, threshold: float = 0.95, n_clusters: int = 8
     Shuffle volume: ``probes`` × (id + d floats) per row — linear in corpus,
     independent of pair count; the all-pairs O(N²) comparison never happens.
     """
-    from .similarity import kmeans_fit
+    from .similarity import kmeans_fit, vec_matrix
 
     sample = np.asarray(
         [r[vec_col] for r in ds.limit(sample_rows).take_all()], dtype=np.float64
@@ -651,7 +651,7 @@ def embedding_near_dup_pairs(ds, *, threshold: float = 0.95, n_clusters: int = 8
     thr = threshold
 
     def explode(batch: pa.Table) -> pa.Table:
-        v = np.asarray(batch[vec_col].to_pylist(), dtype=np.float64)
+        v = vec_matrix(batch[vec_col])
         bid = batch[id_col].to_numpy(zero_copy_only=False).astype(np.int64)
         vn = v / np.maximum(np.linalg.norm(v, axis=1, keepdims=True), 1e-12)
         near = np.argsort(-(vn @ cent.T), axis=1)[:, :p]  # (b, p)
@@ -661,31 +661,31 @@ def embedding_near_dup_pairs(ds, *, threshold: float = 0.95, n_clusters: int = 8
             {
                 "bucket": pa.array(near.reshape(-1).astype(np.int32)),
                 "vec_id": pa.array(bid[rep]),
-                "vn": pa.array(list(vn[rep]), pa.list_(pa.float64())),
+                "vn": pa.ListArray.from_arrays(
+                    pa.array(np.arange(n * p + 1, dtype=np.int32) * d),
+                    pa.array(vn[rep].reshape(-1), pa.float64()),
+                ),
             }
         )
 
     ex = ds.map_batches(explode, batch_format="pyarrow", batch_size=config.batch_size)
 
     def bucket_pairs(g: pa.Table) -> pa.Table:
+        from .similarity import vec_matrix
+
         ids = g["vec_id"].to_numpy(zero_copy_only=False).astype(np.int64)
-        vn = np.asarray(g["vn"].to_pylist(), dtype=np.float64)
+        vn = vec_matrix(g["vn"])
         # a vector probed into the same bucket twice contributes once
         uniq, first = np.unique(ids, return_index=True)
         ids, vn = uniq, vn[first]
-        out_a, out_b, out_s = [], [], []
-        if len(ids) >= 2:
-            sims = vn @ vn.T
-            r, c = np.nonzero(np.triu(sims >= thr, k=1))
-            for i, j in zip(r, c):
-                a, b = int(ids[i]), int(ids[j])
-                if a > b:
-                    a, b = b, a
-                out_a.append(a)
-                out_b.append(b)
-                out_s.append(float(sims[i, j]))
-        return pa.table({"a": pa.array(out_a, pa.int64()), "b": pa.array(out_b, pa.int64()),
-                         "cosine": pa.array(out_s, pa.float64())})
+        if len(ids) < 2:
+            return pa.table({"a": pa.array([], pa.int64()), "b": pa.array([], pa.int64()),
+                             "cosine": pa.array([], pa.float64())})
+        sims = vn @ vn.T
+        r, c = np.nonzero(np.triu(sims >= thr, k=1))
+        a, b = ids[r], ids[c]
+        return pa.table({"a": pa.array(np.minimum(a, b)), "b": pa.array(np.maximum(a, b)),
+                         "cosine": pa.array(sims[r, c], pa.float64())})
 
     pairs = ex.groupby("bucket").map_groups(bucket_pairs, batch_format="pyarrow")
     # pairs found in several shared buckets → keep one

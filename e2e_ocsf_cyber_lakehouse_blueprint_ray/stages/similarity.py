@@ -24,6 +24,27 @@ def _normalize(m: np.ndarray) -> np.ndarray:
     return m / np.maximum(np.linalg.norm(m, axis=1, keepdims=True), 1e-12)
 
 
+def vec_matrix(col: pa.ChunkedArray | pa.Array, dtype=np.float64) -> np.ndarray:
+    """list<float> column → (n, d) matrix WITHOUT a per-row Python pass:
+    flatten the list child buffer (zero-copy) and reshape. Requires equal
+    list lengths (an embedding column's invariant — checked); null-free."""
+    arr = col.combine_chunks() if isinstance(col, pa.ChunkedArray) else col
+    if arr.null_count:
+        raise ValueError("embedding column contains nulls")
+    n = len(arr)
+    if n == 0:
+        return np.empty((0, 0), dtype=dtype)
+    flat = arr.flatten().to_numpy(zero_copy_only=False)
+    if flat.size % n:
+        raise ValueError("ragged embedding column")
+    d = flat.size // n
+    if isinstance(arr, (pa.ListArray, pa.LargeListArray)):
+        offs = arr.offsets.to_numpy(zero_copy_only=False)
+        if not (np.diff(offs) == d).all():
+            raise ValueError("ragged embedding column")
+    return flat.astype(dtype, copy=False).reshape(n, d)
+
+
 def _topk_rows(sims, bid, qids, k):
     """local top-k rows (query_id, vec_id, cosine) from a (b, Q) sim matrix."""
     out_q, out_v, out_s = [], [], []
@@ -87,7 +108,7 @@ def brute_force_topk(
 
     def local(batch: pa.Table) -> pa.Table:
         qn, qids = ray.get(qref)
-        v = np.asarray(batch[vec_col].to_pylist(), dtype=np.float64)
+        v = vec_matrix(batch[vec_col])
         bid = batch[id_col].to_numpy(zero_copy_only=False).astype(np.int64)
         vn = _normalize(v)
         sims = vn @ qn.T  # (b, Q)
@@ -109,6 +130,68 @@ def kmeans_fit(sample: np.ndarray, n_clusters: int, *, iters: int = 10, seed: in
             if len(pts):
                 v = pts.mean(axis=0)
                 cent[c] = v / max(np.linalg.norm(v), 1e-12)
+    return cent
+
+
+def kmeans_fit_streaming(
+    ds,
+    n_clusters: int,
+    *,
+    vec_col: str = "embedding",
+    iters: int = 10,
+    seed: int = 11,
+    init_sample_rows: int = 4096,
+    config: EngineConfig = DEFAULT,
+) -> np.ndarray:
+    """Distributed Lloyd k-means over a Dataset — the scale path for the
+    coarse quantizer that ``kmeans_fit`` trains on a driver sample.
+
+    Per iteration: broadcast the (K, d) centroids once (``ray.put``), each
+    batch computes assignments with one matmul and emits ONE partial row —
+    per-centroid float64 sums (K·d) plus counts (K) via ``np.add.at`` — and
+    the driver folds the O(blocks) partials into the next centroids. One
+    streaming pass per iteration, no shuffle, nothing driver-side except
+    the (K, d) reduce; at 100 TB each pass is scan-bound. Centroids are
+    L2-normalized each round (spherical k-means, cosine geometry —
+    matching ``kmeans_fit``/IVF). Determinism: partial sums are exact per
+    batch; the cross-block fold is float64 addition whose order Ray does
+    not fix, so centroids are reproducible to ~1 ulp, not bitwise.
+    """
+    import ray
+
+    init = ds.limit(init_sample_rows).take_batch(init_sample_rows, batch_format="pyarrow")
+    x0 = _normalize(vec_matrix(init[vec_col]))
+    rng = np.random.default_rng(seed)
+    cent = x0[rng.choice(len(x0), size=min(n_clusters, len(x0)), replace=False)].copy()
+    k, d = cent.shape
+
+    for _ in range(iters):
+        cref = ray.put(cent)
+
+        def partial(batch: pa.Table) -> pa.Table:
+            c = ray.get(cref)
+            vn = _normalize(vec_matrix(batch[vec_col]))
+            assign = np.argmax(vn @ c.T, axis=1)
+            sums = np.zeros((k, d), dtype=np.float64)
+            np.add.at(sums, assign, vn)
+            counts = np.bincount(assign, minlength=k).astype(np.int64)
+            return pa.table(
+                {
+                    "sums": pa.array([sums.reshape(-1)], pa.list_(pa.float64())),
+                    "counts": pa.array([counts], pa.list_(pa.int64())),
+                }
+            )
+
+        tot = np.zeros((k, d), dtype=np.float64)
+        cnt = np.zeros(k, dtype=np.int64)
+        part_ds = ds.map_batches(partial, batch_format="pyarrow", batch_size=config.batch_size)
+        for b in part_ds.iter_batches(batch_size=None, batch_format="pyarrow"):
+            tot += vec_matrix(b["sums"]).sum(axis=0).reshape(k, d)
+            cnt += vec_matrix(b["counts"], dtype=np.int64).sum(axis=0)
+        live = cnt > 0
+        cent[live] = tot[live] / np.maximum(
+            np.linalg.norm(tot[live], axis=1, keepdims=True), 1e-12
+        )
     return cent
 
 
@@ -144,7 +227,7 @@ def add_centroid_assignment(
 
     def assign(batch: pa.Table) -> pa.Table:
         c = ray.get(cref)
-        v = np.asarray(batch[vec_col].to_pylist(), dtype=np.float64)
+        v = vec_matrix(batch[vec_col])
         a = np.argmax(_normalize(v) @ c.T, axis=1).astype(np.int32)
         return batch.append_column(out_col, pa.array(a))
 
@@ -192,11 +275,11 @@ def ivf_topk(
             assign = batch[assign_col].to_numpy(zero_copy_only=False).astype(np.int64)
             keep = allowed_[assign].any(axis=1)
             sub = batch.filter(pa.array(keep))
-            vn_s = _normalize(np.asarray(sub[vec_col].to_pylist(), dtype=np.float64)) if sub.num_rows else np.empty((0, qn_.shape[1]))
+            vn_s = _normalize(vec_matrix(sub[vec_col])) if sub.num_rows else np.empty((0, qn_.shape[1]))
             bid_s = bid[keep]
             allowed_rows = allowed_[assign[keep]]
         else:
-            v = np.asarray(batch[vec_col].to_pylist(), dtype=np.float64)
+            v = vec_matrix(batch[vec_col])
             vn_s, bid_s, allowed_rows = ivf_prune(_normalize(v), bid, cent_, allowed_)
         if len(vn_s) == 0:
             return pa.table(

@@ -392,3 +392,54 @@ def test_duplicate_clusters_and_representatives(ray_session):
                        "text": pa.array(list("abcdef"))})
     kept = dedup.dedup_keep_representatives(rd.from_arrow(corpus), pairs, config=CONF).take_all()
     assert sorted(r["doc_id"] for r in kept) == [1, 5, 7]
+
+
+def test_vec_matrix_zero_copy_and_ragged(emb):
+    t, mat, ids = emb
+    got = similarity.vec_matrix(t["embedding"])
+    assert got.shape == mat.shape and np.array_equal(got, mat)
+    ragged = pa.array([[1.0, 2.0], [3.0]], pa.list_(pa.float64()))
+    with pytest.raises(ValueError):
+        similarity.vec_matrix(ragged)
+    with pytest.raises(ValueError):
+        similarity.vec_matrix(pa.array([[1.0], None], pa.list_(pa.float64())))
+
+
+def test_kmeans_streaming_recovers_blobs(ray_session):
+    import ray.data as rd
+
+    rng = np.random.default_rng(3)
+    centers = np.eye(4, 8)  # 4 well-separated unit directions in R^8
+    pts, labels = [], []
+    for i, c in enumerate(centers):
+        pts.append(c + rng.normal(0, 0.02, size=(200, 8)))
+        labels += [i] * 200
+    x = np.concatenate(pts)
+    perm = rng.permutation(len(x))
+    x, labels = x[perm], np.asarray(labels)[perm]
+    t = pa.table(
+        {
+            "vec_id": pa.array(np.arange(len(x), dtype=np.int64)),
+            "embedding": pa.ListArray.from_arrays(
+                pa.array(np.arange(len(x) + 1, dtype=np.int32) * 8),
+                pa.array(x.reshape(-1), pa.float64()),
+            ),
+        }
+    )
+    # many small blocks so the cross-block partial fold actually happens
+    ds = rd.from_arrow(t).repartition(7)
+    cent = similarity.kmeans_fit_streaming(ds, 4, iters=8, seed=5, config=CONF)
+    assert cent.shape == (4, 8)
+    xn = x / np.linalg.norm(x, axis=1, keepdims=True)
+    assign = np.argmax(xn @ cent.T, axis=1)
+    # each blob lands wholly in one distinct cluster
+    blob_to_cluster = {}
+    for i in range(4):
+        got = set(assign[labels == i].tolist())
+        assert len(got) == 1, f"blob {i} split across clusters"
+        blob_to_cluster[i] = got.pop()
+    assert len(set(blob_to_cluster.values())) == 4
+    # and each centroid sits on its blob's direction
+    cn = centers / np.linalg.norm(centers, axis=1, keepdims=True)
+    for i, c in blob_to_cluster.items():
+        assert float(cent[c] @ cn[i]) > 0.99
