@@ -570,6 +570,59 @@ def q_events_window_stats(sf_dir: str):
         keep_cols=["event_id"])
 
 
+def q_hash_join(sf_dir: str):
+    """Generic shuffle hash join (both sides 'large'): orders ⋈ customer
+    co-partitioned by hash(custkey) % buckets, per-bucket Acero join —
+    the non-broadcast path for fact × fact joins at scale."""
+    orders = _read(sf_dir, "orders", ["o_orderkey", "o_custkey"])
+    cust = _read(sf_dir, "customer", ["c_custkey", "c_name", "c_mktsegment"])
+    cust = cust.map_batches(
+        lambda b: b.rename_columns(["o_custkey", "c_name", "c_mktsegment"]),
+        batch_format="pyarrow",
+    )
+    return joins_mod.hash_join(orders, cust, on="o_custkey", how="inner", num_buckets=32)
+
+
+def q_hash_join_outer(sf_dir: str):
+    """Left-outer shuffle hash join: every customer row survives; customers
+    without orders carry a null order count contribution. Aggregated to
+    per-segment totals so the null path is oracle-visible."""
+    cust = _read(sf_dir, "customer", ["c_custkey", "c_mktsegment"])
+    orders = _read(sf_dir, "orders", ["o_orderkey", "o_custkey"])
+    orders = orders.map_batches(
+        lambda b: b.rename_columns(["o_orderkey", "c_custkey"]), batch_format="pyarrow"
+    )
+    j = joins_mod.hash_join(cust, orders, on="c_custkey", how="left outer", num_buckets=32)
+
+    def partial(b: pa.Table) -> pa.Table:
+        t = pa.table(
+            {
+                "c_mktsegment": b["c_mktsegment"],
+                "n_rows": pa.array(np.ones(b.num_rows, dtype=np.int64)),
+                "n_orders": pc.cast(pc.is_valid(b["o_orderkey"]), pa.int64()),
+            }
+        )
+        return t.group_by(["c_mktsegment"]).aggregate([("n_rows", "sum"), ("n_orders", "sum")])
+
+    from ray.data.aggregate import Sum
+
+    agg = (
+        j.map_batches(partial, batch_format="pyarrow")
+        .groupby("c_mktsegment")
+        .aggregate(Sum("n_rows_sum"), Sum("n_orders_sum"))
+    )
+    return agg.map_batches(
+        lambda b: pa.table(
+            {
+                "c_mktsegment": b["c_mktsegment"],
+                "n_rows": b["sum(n_rows_sum)"],
+                "n_orders": b["sum(n_orders_sum)"],
+            }
+        ),
+        batch_format="pyarrow",
+    )
+
+
 def q_value_quantiles(sf_dir: str):
     """Exact per-event-type discrete quantiles of ``value`` — stored doubles
     picked (not arithmetic), so they hash identically to the SQL side."""
@@ -1536,6 +1589,8 @@ def queries() -> dict:
         "q_events_sessionize": q_events_sessionize,
         "q_asof_orders": q_asof_orders,
         "q_asof_orders_part": q_asof_orders_part,
+        "q_hash_join": q_hash_join,
+        "q_hash_join_outer": q_hash_join_outer,
         "q_events_window_stats": q_events_window_stats,
         "q_value_quantiles": q_value_quantiles,
         "q_distinct_docs_hll": q_distinct_docs_hll,
@@ -1691,6 +1746,17 @@ def oracle_sql() -> dict:
                      epoch(ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)) AS gap
               FROM events
             ) GROUP BY user_id
+        """,
+        "q_hash_join": """
+            SELECT o.o_orderkey, o.o_custkey, c.c_name, c.c_mktsegment
+            FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+        """,
+        "q_hash_join_outer": """
+            SELECT c.c_mktsegment,
+                   COUNT(*) AS n_rows,
+                   CAST(SUM(CASE WHEN o.o_orderkey IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_orders
+            FROM customer c LEFT JOIN orders o ON c.c_custkey = o.o_custkey
+            GROUP BY c.c_mktsegment
         """,
         "q_asof_orders": """
             WITH r AS (

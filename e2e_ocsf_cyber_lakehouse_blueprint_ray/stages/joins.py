@@ -218,6 +218,86 @@ def interval_join_agg(left_ds, right: pa.Table, *, key: str, ts: str,
     return left_ds.map_batches(probe, batch_format="pyarrow")
 
 
+def hash_join(left_ds, right_ds, *, on, how: str = "inner",
+              num_buckets: int = 64, right_suffix: str = "_r"):
+    """Generic distributed hash join for two LARGE Datasets (when neither
+    side fits a broadcast — the broadcast lookup in pipelines/queries.py is
+    the right tool otherwise).
+
+    Shape: both sides are tagged, padded to a shared schema, and
+    co-partitioned by ``hash(key) % num_buckets`` — ONE shuffle keyed by a
+    small int. Each bucket group then runs a vectorized in-worker Arrow
+    (Acero) ``Table.join`` between its two sides. Bucketing (instead of
+    grouping by the raw key) bounds the group count at ``num_buckets`` —
+    no per-key Python call — and spreads keys uniformly; size it so
+    |input| / num_buckets fits a worker. A single hot KEY still lands in
+    one bucket (join semantics require it); a hot-key × hot-key join is
+    inherently quadratic in output and should be pre-aggregated instead.
+
+    ``how``: "inner", "left outer", "full outer" (bucket-local correct
+    because both sides of a key co-locate). Right columns whose names
+    collide with left ones are renamed with ``right_suffix``. Null join
+    keys never match (SQL semantics).
+    """
+    on = [on] if isinstance(on, str) else list(on)
+    if how not in ("inner", "left outer", "full outer"):
+        raise ValueError(f"unsupported join type {how!r}")
+
+    def _arrow_schema(ds) -> pa.Schema:
+        s = ds.schema()
+        return s.base_schema if hasattr(s, "base_schema") else s
+
+    lsch, rsch = _arrow_schema(left_ds), _arrow_schema(right_ds)
+    left_cols = list(lsch.names)
+    ren = {c: (f"{c}{right_suffix}" if c in left_cols and c not in on else c)
+           for c in rsch.names}
+    right_value_cols = [ren[c] for c in rsch.names if c not in on]
+    out_cols = left_cols + right_value_cols
+    union_fields = (
+        [(c, lsch.field(c).type) for c in left_cols]
+        + [(ren[c], rsch.field(c).type) for c in rsch.names if c not in on]
+    )
+    union_names = [n for n, _ in union_fields]
+    union_types = dict(union_fields)
+
+    def _bucket(b: pa.Table) -> pa.Array:
+        import polars as pl
+
+        h = np.zeros(b.num_rows, dtype=np.uint64)
+        for i, c in enumerate(on):
+            hc = pl.from_arrow(b[c].combine_chunks()).hash(seed=i).to_numpy()
+            h ^= hc.astype(np.uint64) * np.uint64(0x9E3779B97F4A7C15)
+        return pa.array((h % num_buckets).astype(np.int32))
+
+    def tag(side: int, names_in: list[str], rename: dict | None):
+        def fn(b: pa.Table) -> pa.Table:
+            cols = {}
+            for c in names_in:
+                cols[rename[c] if rename else c] = b[c]
+            out = {n: cols.get(n, pa.nulls(b.num_rows, union_types[n]))
+                   for n in union_names}
+            out["_side"] = pa.array(np.full(b.num_rows, side, np.int8))
+            out["_b"] = _bucket(b)
+            return pa.table(out)
+
+        return fn
+
+    u = left_ds.map_batches(tag(1, left_cols, None), batch_format="pyarrow").union(
+        right_ds.map_batches(tag(0, list(rsch.names), ren), batch_format="pyarrow")
+    )
+
+    right_keys = on + right_value_cols
+
+    def join_bucket(g: pa.Table) -> pa.Table:
+        side = g["_side"].combine_chunks().to_numpy(zero_copy_only=False)
+        lt = g.filter(pa.array(side == 1)).select(left_cols)
+        rt = g.filter(pa.array(side == 0)).select(right_keys)
+        joined = lt.join(rt, keys=on, join_type=how)
+        return joined.select(out_cols).combine_chunks()
+
+    return u.groupby("_b").map_groups(join_bucket, batch_format="pyarrow")
+
+
 def asof_join_partitioned(left_ds, right_ds, *, key: str, ts: str,
                           payload: list[str], direction: str = "backward",
                           tolerance_us: int | None = None, strict: bool = False):

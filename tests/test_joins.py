@@ -154,3 +154,92 @@ def test_interval_join_agg_stage(ray_session):
         m = (kk == kk[row]) & (tt >= tt[row] - 20) & (tt <= tt[row])
         assert out["n_win"][row] == m.sum()
         assert out["sum_v"][row] == vv[m].sum()
+
+
+def _hj_fixture():
+    rng = np.random.default_rng(7)
+    lk = rng.integers(0, 40, 300)
+    left = pa.table(
+        {
+            "k": pa.array(lk, pa.int64()),
+            "lv": pa.array(np.arange(300, dtype=np.int64)),
+            "name": pa.array([f"L{v}" for v in range(300)]),
+        }
+    )
+    rk = rng.integers(10, 60, 120)  # keys 40-59 unmatched on left, 0-9 on right
+    right = pa.table(
+        {
+            "k": pa.array(rk, pa.int64()),
+            "rv": pa.array(np.arange(120, dtype=np.int64) * 10),
+            "name": pa.array([f"R{v}" for v in range(120)]),  # collides with left
+        }
+    )
+    return left, right
+
+
+def _duck_join(left, right, how):
+    import duckdb
+
+    con = duckdb.connect()
+    con.register("l", left)
+    con.register("r", right)
+    jt = {"inner": "JOIN", "left outer": "LEFT JOIN", "full outer": "FULL JOIN"}[how]
+    q = f"""SELECT coalesce(l.k, r.k) AS k, l.lv, l.name, r.rv, r.name AS name_r
+            FROM l {jt} r ON l.k = r.k"""
+    return con.execute(q).arrow()
+
+
+def _sorted_rows(t: pa.Table):
+    cols = sorted(t.column_names)
+    return sorted(zip(*[t[c].to_pylist() for c in cols]), key=lambda r: tuple((v is None, v) for v in r))
+
+
+@pytest.mark.parametrize("how", ["inner", "left outer", "full outer"])
+def test_hash_join_matches_duckdb(ray_session, how):
+    import ray.data as rd
+
+    left, right = _hj_fixture()
+    got_ds = joins.hash_join(
+        rd.from_arrow(left).repartition(5),
+        rd.from_arrow(right).repartition(3),
+        on="k",
+        how=how,
+        num_buckets=8,
+    )
+    got = pa.concat_tables(
+        got_ds.iter_batches(batch_size=None, batch_format="pyarrow"),
+        promote_options="default",
+    )
+    assert set(got.column_names) == {"k", "lv", "name", "rv", "name_r"}
+    exp = _duck_join(left, right, how)
+    assert got.num_rows == exp.num_rows
+    assert _sorted_rows(got) == _sorted_rows(exp)
+
+
+def test_hash_join_multi_key(ray_session):
+    import duckdb
+    import ray.data as rd
+
+    left = pa.table(
+        {
+            "a": pa.array([1, 1, 2, 2, 3], pa.int64()),
+            "b": pa.array(["x", "y", "x", "y", "x"]),
+            "lv": pa.array([10, 11, 12, 13, 14], pa.int64()),
+        }
+    )
+    right = pa.table(
+        {
+            "a": pa.array([1, 2, 2, 4], pa.int64()),
+            "b": pa.array(["x", "y", "y", "x"]),
+            "rv": pa.array([100, 200, 201, 400], pa.int64()),
+        }
+    )
+    got_ds = joins.hash_join(
+        rd.from_arrow(left), rd.from_arrow(right), on=["a", "b"], how="inner", num_buckets=4
+    )
+    got = pa.concat_tables(got_ds.iter_batches(batch_size=None, batch_format="pyarrow"))
+    con = duckdb.connect()
+    con.register("l", left)
+    con.register("r", right)
+    exp = con.execute("SELECT l.a, l.b, l.lv, r.rv FROM l JOIN r USING (a, b)").arrow()
+    assert _sorted_rows(got) == _sorted_rows(exp)
