@@ -841,6 +841,25 @@ def q_table_changes(sf_dir: str):
         shutil.rmtree(work, ignore_errors=True)
 
 
+def q_incremental_view(sf_dir: str):
+    """Incremental materialized view (CDC consumer): per-conv turn counts
+    built once, then advanced across a MERGE through the change feed —
+    O(churn) applied, no source recompute. Oracle recomputes from scratch."""
+    from . import incremental
+
+    work = tempfile.mkdtemp(prefix="maint-", dir=cfg.scratch_dir())
+    try:
+        t = derive.build_maintenance_table(sf_dir, os.path.join(work, "tbl"), CONF)
+        view = incremental.create_conv_count_view(t, os.path.join(work, "view"), config=CONF)
+        src = derive.derived_merge_source(derive.sorted_scan_arrow(t))
+        merge_mod.merge(t, src)
+        incremental.refresh_conv_count_view(t, view)
+        got = view.read_arrow(columns=["conv_id", "n_turns"])
+        return got.take(pc.sort_indices(got, sort_keys=[("conv_id", "ascending")]))
+    finally:
+        shutil.rmtree(work, ignore_errors=True)
+
+
 def q_maint_pruned_scan(sf_dir: str):
     """Stats-pruned scan of one conversation (file skipping via manifest)."""
     work = tempfile.mkdtemp(prefix="maint-", dir=cfg.scratch_dir())
@@ -1609,6 +1628,7 @@ def queries() -> dict:
         "q_maint_time_scan": q_maint_time_scan,
         "q_maint_delete_scan": q_maint_delete_scan,
         "q_table_changes": q_table_changes,
+        "q_incremental_view": q_incremental_view,
         "q_conv_stats": q_conv_stats,
         "q_conv_render": q_conv_render,
         # training-data ops
@@ -1816,6 +1836,9 @@ def oracle_sql() -> dict:
         + " WHERE ts >= TIMESTAMP '2024-01-08' AND ts <= TIMESTAMP '2024-01-14 23:59:59.999999'",
         "q_maint_delete_scan": _T + _TRANSCRIPT_SELECT
         + " WHERE ts < TIMESTAMP '2024-01-08' OR ts > TIMESTAMP '2024-01-14 23:59:59.999999'",
+        "q_incremental_view": _M + """
+            SELECT conv_id, COUNT(*) AS n_turns FROM merged GROUP BY conv_id
+        """,
         "q_table_changes": _M + """
             SELECT conv_id, turn_idx, role, text, tool, ts, 'added' AS change
             FROM (SELECT * FROM merged EXCEPT SELECT * FROM t)

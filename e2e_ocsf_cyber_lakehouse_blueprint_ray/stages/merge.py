@@ -64,6 +64,7 @@ def merge(
     concurrency: int | None = None,
     use_actor: bool = False,
     fail_after: int | None = None,
+    extra: dict | None = None,
     _skip_chunking: bool = False,
 ) -> int:
     """Apply a MERGE source (transcript columns + ``op``) copy-on-write.
@@ -173,6 +174,7 @@ def merge(
         expected_parent=parent,
         use_actor=use_actor,
         job_id=job_id,
+        extra=extra,
     )
 
 
