@@ -71,6 +71,16 @@ def main(argv=None) -> int:
     sp = sub.add_parser("medallion")
     sp.add_argument("--root", required=True)
     sp.add_argument("--fixtures", required=True)
+    sp = sub.add_parser("delete")
+    add_table(sp)
+    sp.add_argument("--col", required=True, help="stats column the range targets")
+    sp.add_argument("--lo", required=True, help="range low (int64 µs for timestamps)")
+    sp.add_argument("--hi", required=True, help="range high, inclusive")
+    sp = sub.add_parser("changes")
+    sp.add_argument("--table", required=True)
+    sp.add_argument("--from-snapshot", type=int, required=True)
+    sp.add_argument("--to-snapshot", type=int, default=None)
+    sp.add_argument("--out", default=None, help="write the feed as parquet here")
     sp = sub.add_parser("snapshots")
     sp.add_argument("--table", required=True)
 
@@ -125,6 +135,29 @@ def main(argv=None) -> int:
 
         Medallion(args.root).run_all(args.fixtures)
         out["root"] = args.root
+    elif args.cmd == "delete":
+        from .stages import delete
+
+        def _num(v):
+            try:
+                return int(v)
+            except ValueError:
+                return v  # string-typed stats column (e.g. conv_id)
+
+        out["snapshot"] = delete.delete_where(
+            Table(args.table), args.col, _num(args.lo), _num(args.hi),
+            use_actor=args.use_actor,
+        )
+    elif args.cmd == "changes":
+        from .stages import changes
+
+        t = Table(args.table)
+        to = args.to_snapshot if args.to_snapshot is not None else t.current_snapshot_id()
+        feed = changes.snapshot_changes(t, args.from_snapshot, to)
+        if args.out:
+            feed.write_parquet(args.out)
+            out["out"] = args.out
+        out.update({"from": args.from_snapshot, "to": to, "rows": feed.count()})
     elif args.cmd == "snapshots":
         from .state import manifest
 

@@ -59,3 +59,42 @@ def test_optimize_sequence(tmp_table_dir, ray_session):
     # idempotent: nothing left to do
     again = optimize.optimize(t)
     assert again["compact"] is None
+
+
+def test_append_during_delete_survives(tmp_table_dir, ray_session, monkeypatch):
+    """DELETE WHERE planned against snapshot S + an append landing before
+    its commit: the delete applies to S only (snapshot isolation), so the
+    late rows survive even when they fall inside the deleted range."""
+    import numpy as np
+    import pyarrow as pa
+
+    from e2e_ocsf_cyber_lakehouse_blueprint_ray.stages import delete as delete_mod
+
+    data = synth.transcripts(0.001)
+    t = make_table(tmp_table_dir, data, rows_per_file=300)
+    ts = np.sort(data["ts"].cast(pa.int64()).to_numpy(zero_copy_only=False))
+    lo, hi = int(ts[len(ts) // 3]), int(ts[len(ts) * 2 // 3])
+    extra = data.slice(0, 200)
+    extra = extra.set_column(
+        extra.schema.get_field_index("turn_idx"),
+        "turn_idx",
+        pc.add(extra["turn_idx"], 50_000).cast(pa.int32()),
+    )
+
+    orig = rewrite.run_bins
+    fired = {"done": False}
+
+    def hooked(*a, **k):
+        out = orig(*a, **k)
+        if not fired["done"]:
+            fired["done"] = True
+            t.write_table(extra, rows_per_file=100, operation="late-append", name_prefix="late")
+        return out
+
+    monkeypatch.setattr(delete_mod.rewrite, "run_bins", hooked)
+    delete_mod.delete_where(t, "ts", lo, hi)
+
+    t64 = data["ts"].cast(pa.int64())
+    kept = data.filter(pc.or_(pc.less(t64, lo), pc.greater(t64, hi)))
+    got = t.read_arrow()
+    assert got.num_rows == kept.num_rows + extra.num_rows
