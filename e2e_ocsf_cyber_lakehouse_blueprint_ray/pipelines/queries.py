@@ -630,6 +630,15 @@ def q_value_quantiles(sf_dir: str):
     return sketch_mod.group_quantiles_disc(ds, "event_type", "value")
 
 
+def q_frequent_tokens(sf_dir: str):
+    """Exact heavy hitters via a mergeable Misra-Gries candidate sweep +
+    exact verify pass — O(m) bytes per batch instead of a vocabulary-sized
+    shuffle; the MG bound makes the candidate set a provable superset, so
+    the verified output is EXACT and SQL-checkable."""
+    ds = _read(sf_dir, "documents", ["text"])
+    return sketch_mod.frequent_tokens(ds, phi=0.003)
+
+
 def q_distinct_docs_hll(sf_dir: str):
     """HyperLogLog distinct-count of document texts: mergeable 2^14-byte
     per-batch partials, O(blocks) bytes to the final combine — the
@@ -1613,6 +1622,7 @@ def queries() -> dict:
         "q_events_window_stats": q_events_window_stats,
         "q_value_quantiles": q_value_quantiles,
         "q_distinct_docs_hll": q_distinct_docs_hll,
+        "q_frequent_tokens": q_frequent_tokens,
         "q_part_type_stats": q_part_type_stats,
         "q_supplier_nation": q_supplier_nation,
         "q_medallion_gold": q_medallion_gold,
@@ -1912,6 +1922,15 @@ def oracle_sql() -> dict:
         """,
         "q_curation_pipeline": _curation_sql(),
         "q_mixture_sample": _mixture_sql(),
+        "q_frequent_tokens": """
+            WITH toks AS (SELECT unnest(regexp_split_to_array(trim(text), '\\s+')) AS token
+                          FROM documents),
+            tot AS (SELECT COUNT(*) AS t FROM toks)
+            SELECT token, CAST(COUNT(*) AS BIGINT) AS n_total
+            FROM toks GROUP BY token
+            HAVING COUNT(*) >= CAST(ceil(0.003 * (SELECT t FROM tot)) AS BIGINT)
+            ORDER BY n_total DESC, token ASC
+        """,
         "q_token_topk": """
             SELECT token, CAST(COUNT(*) AS BIGINT) AS n_total
             FROM (SELECT unnest(regexp_split_to_array(trim(text), '\\s+')) AS token

@@ -46,23 +46,22 @@ def vec_matrix(col: pa.ChunkedArray | pa.Array, dtype=np.float64) -> np.ndarray:
 
 
 def _topk_rows(sims, bid, qids, k):
-    """local top-k rows (query_id, vec_id, cosine) from a (b, Q) sim matrix."""
-    out_q, out_v, out_s = [], [], []
-    for qi in range(sims.shape[1]):
-        col = sims[:, qi]
-        if len(col) > k:
-            idx = np.argpartition(-col, k)[:k]
-        else:
-            idx = np.arange(len(col))
-        for r in idx:
-            out_q.append(int(qids[qi]))
-            out_v.append(int(bid[r]))
-            out_s.append(float(col[r]))
+    """local top-k rows (query_id, vec_id, cosine) from a (b, Q) sim matrix
+    — one argpartition over the whole matrix, no per-query Python loop."""
+    n, q = sims.shape
+    kk = min(k, n)
+    if kk == 0:
+        top = np.empty((0, q), dtype=np.int64)
+    elif kk < n:
+        top = np.argpartition(-sims, kk - 1, axis=0)[:kk]  # (kk, Q)
+    else:
+        top = np.tile(np.arange(n)[:, None], (1, q))
+    scores = np.take_along_axis(sims, top, axis=0) if kk else np.empty((0, q))
     return pa.table(
         {
-            "query_id": pa.array(out_q, pa.int64()),
-            "vec_id": pa.array(out_v, pa.int64()),
-            "cosine": pa.array(out_s, pa.float64()),
+            "query_id": pa.array(np.repeat(qids.astype(np.int64), kk)),
+            "vec_id": pa.array(bid[top.T.reshape(-1)].astype(np.int64)),
+            "cosine": pa.array(scores.T.reshape(-1).astype(np.float64)),
         }
     )
 

@@ -20,6 +20,7 @@ from __future__ import annotations
 
 import numpy as np
 import pyarrow as pa
+import pyarrow.compute as pc
 
 
 def _hash64(arr: pa.ChunkedArray | pa.Array) -> np.ndarray:
@@ -107,3 +108,121 @@ def group_quantiles_disc(ds, group_col: str, value_col: str,
         return pa.table(out)
 
     return ds.groupby(group_col).map_groups(per_group, batch_format="pyarrow")
+
+
+# -- frequent items (Misra-Gries) -------------------------------------------
+
+
+def mg_compress(keys: np.ndarray, counts: np.ndarray, m: int) -> tuple[np.ndarray, np.ndarray]:
+    """Compress exact/merged counters to a Misra-Gries summary of ≤ m
+    positive counters: subtract the (m+1)-th largest count from everything
+    and drop non-positives. Underestimates each survivor by ≤ that pivot;
+    summed over merges the total error stays ≤ n/(m+1) (Agarwal et al.,
+    'Mergeable Summaries', PODS'12)."""
+    if len(keys) <= m:
+        return keys, counts
+    pivot = np.partition(counts, len(counts) - m - 1)[len(counts) - m - 1]
+    kept = counts - pivot
+    mask = kept > 0
+    return keys[mask], kept[mask]
+
+
+def mg_token_partials(batch: pa.Table, *, text_col: str = "text", m: int = 512) -> pa.Table:
+    """One MG summary row per batch over whitespace tokens: exact in-batch
+    value_counts compressed to ≤ m counters, plus the batch token total.
+    O(m) bytes leave each batch regardless of vocabulary size — the
+    bounded-memory half of heavy-hitter detection when the exact
+    vocabulary-sized groupby (text.token_partial_counts) would not fit."""
+    from .text import _token_lists
+
+    toks = _token_lists(batch[text_col])
+    flat = toks.flatten()
+    total = len(flat)
+    if total == 0:
+        return pa.table(
+            {
+                "keys": pa.array([[]], pa.list_(pa.string())),
+                "counts": pa.array([[]], pa.list_(pa.int64())),
+                "n_tokens": pa.array([0], pa.int64()),
+            }
+        )
+    vc = flat.value_counts()
+    keys = vc.field("values").to_numpy(zero_copy_only=False)
+    counts = vc.field("counts").to_numpy(zero_copy_only=False).astype(np.int64)
+    keys, counts = mg_compress(keys, counts, m)
+    return pa.table(
+        {
+            "keys": pa.array([keys.tolist()], pa.list_(pa.string())),
+            "counts": pa.array([counts.tolist()], pa.list_(pa.int64())),
+            "n_tokens": pa.array([total], pa.int64()),
+        }
+    )
+
+
+def frequent_tokens(ds, *, text_col: str = "text", phi: float = 0.003, m: int | None = None):
+    """EXACT heavy hitters (tokens with count ≥ ceil(phi·total)) in two
+    streaming passes:
+
+    1. Misra-Gries candidate sweep — per-batch O(m) summaries, O(blocks·m)
+       driver merge. With m ≥ 2/phi the MG guarantee makes the candidate
+       set a SUPERSET of the true heavy hitters (error < phi·total/2).
+    2. Exact verify — broadcast the candidate array, count ONLY candidate
+       tokens per batch (candidate-sized partials, not vocabulary-sized),
+       small groupby, threshold filter.
+
+    Returns a pa.Table (token, n_total) sorted by (-n_total, token).
+    """
+    import ray
+
+    m = m or max(16, int(np.ceil(2.0 / phi)))
+    part_ds = ds.map_batches(
+        lambda b: mg_token_partials(b, text_col=text_col, m=m), batch_format="pyarrow"
+    )
+    acc: dict[str, int] = {}
+    total = 0
+    for b in part_ds.iter_batches(batch_size=None, batch_format="pyarrow"):
+        for ks, cs, n in zip(
+            b["keys"].to_pylist(), b["counts"].to_pylist(), b["n_tokens"].to_pylist()
+        ):
+            total += n
+            for k_, c_ in zip(ks, cs):
+                acc[k_] = acc.get(k_, 0) + c_
+            if len(acc) > 4 * m:  # keep the driver fold bounded
+                keys = np.array(list(acc.keys()), dtype=object)
+                counts = np.array(list(acc.values()), dtype=np.int64)
+                keys, counts = mg_compress(keys, counts, m)
+                acc = dict(zip(keys.tolist(), counts.tolist()))
+    if not acc or total == 0:
+        return pa.table({"token": pa.array([], pa.string()), "n_total": pa.array([], pa.int64())})
+    cand = pa.array(sorted(acc.keys()), pa.string())
+    cand_ref = ray.put(cand)
+    thresh = int(np.ceil(phi * total))
+
+    def verify(b: pa.Table) -> pa.Table:
+        from .text import _token_lists
+
+        cv = ray.get(cand_ref)
+        flat = _token_lists(b[text_col]).flatten()
+        hit = flat.filter(pc.is_in(flat, value_set=cv))
+        if len(hit) == 0:
+            return pa.table({"token": pa.array([], pa.string()), "n": pa.array([], pa.int64())})
+        vc = hit.value_counts()
+        return pa.table(
+            {"token": vc.field("values"), "n": pc.cast(vc.field("counts"), pa.int64())}
+        )
+
+    from ray.data.aggregate import Sum
+
+    agg = (
+        ds.map_batches(verify, batch_format="pyarrow")
+        .groupby("token")
+        .aggregate(Sum("n"))
+    )
+    rows = agg.take_all()  # ≤ |candidates| rows
+    toks = [r["token"] for r in rows if r["sum(n)"] >= thresh]
+    ns = [int(r["sum(n)"]) for r in rows if r["sum(n)"] >= thresh]
+    out = pa.table({"token": pa.array(toks, pa.string()), "n_total": pa.array(ns, pa.int64())})
+    idx = pc.sort_indices(
+        out, sort_keys=[("n_total", "descending"), ("token", "ascending")]
+    )
+    return out.take(idx)

@@ -54,3 +54,56 @@ def test_group_quantiles_disc(ray_session):
         for q, name in ((0.5, "p50"), (0.95, "p95"), (0.99, "p99")):
             expect = vals[min(n - 1, int(np.ceil(q * n)) - 1)]
             assert out.loc[f"g{gi}", name] == expect
+
+
+def test_frequent_tokens_exact_with_planted_hitters(ray_session):
+    import collections
+
+    import numpy as np
+    import ray.data as rd
+
+    from e2e_ocsf_cyber_lakehouse_blueprint_ray.stages import sketch
+
+    rng = np.random.default_rng(13)
+    docs = []
+    # long-tail vocabulary + two planted heavy hitters
+    for i in range(600):
+        words = [f"w{rng.integers(0, 3000)}" for _ in range(20)]
+        if i % 3 == 0:
+            words += ["hot"] * 4
+        if i % 5 == 0:
+            words += ["warm"] * 3
+        docs.append(" ".join(words))
+    t = pa.table({"text": pa.array(docs)})
+    ds = rd.from_arrow(t).repartition(9)
+
+    phi = 0.02
+    got = sketch.frequent_tokens(ds, phi=phi, m=128)
+
+    counts = collections.Counter(w for d in docs for w in d.split())
+    total = sum(counts.values())
+    import math
+
+    thresh = math.ceil(phi * total)
+    expected = sorted(
+        ((w, c) for w, c in counts.items() if c >= thresh), key=lambda x: (-x[1], x[0])
+    )
+    assert list(zip(got["token"].to_pylist(), got["n_total"].to_pylist())) == expected
+    assert "hot" in got["token"].to_pylist()
+
+
+def test_mg_compress_guarantee():
+    import numpy as np
+
+    from e2e_ocsf_cyber_lakehouse_blueprint_ray.stages import sketch
+
+    rng = np.random.default_rng(1)
+    counts = rng.integers(1, 100, 500).astype(np.int64)
+    keys = np.array([f"k{i}" for i in range(500)], dtype=object)
+    m = 32
+    k2, c2 = sketch.mg_compress(keys, counts, m)
+    assert len(k2) <= m
+    # every surviving counter underestimates by the same bounded pivot
+    orig = dict(zip(keys.tolist(), counts.tolist()))
+    pivot = {orig[k] - c for k, c in zip(k2.tolist(), c2.tolist())}
+    assert len(pivot) == 1 and pivot.pop() <= counts.sum() // (m + 1)
