@@ -81,6 +81,12 @@ def main(argv=None) -> int:
     sp.add_argument("--from-snapshot", type=int, required=True)
     sp.add_argument("--to-snapshot", type=int, default=None)
     sp.add_argument("--out", default=None, help="write the feed as parquet here")
+    sp = sub.add_parser("view-build")
+    sp.add_argument("--source", required=True, help="source table dir")
+    sp.add_argument("--view", required=True, help="view table dir to create")
+    sp = sub.add_parser("view-refresh")
+    sp.add_argument("--source", required=True)
+    sp.add_argument("--view", required=True)
     sp = sub.add_parser("snapshots")
     sp.add_argument("--table", required=True)
 
@@ -158,6 +164,20 @@ def main(argv=None) -> int:
             feed.write_parquet(args.out)
             out["out"] = args.out
         out.update({"from": args.from_snapshot, "to": to, "rows": feed.count()})
+    elif args.cmd == "view-build":
+        from .config import DEFAULT
+        from .pipelines import incremental
+
+        src = Table(args.source)
+        view = incremental.create_conv_count_view(src, args.view, config=DEFAULT)
+        out.update({"view": args.view, "snapshot": view.current_snapshot_id(),
+                    "synced": incremental.synced_snapshot(view)})
+    elif args.cmd == "view-refresh":
+        from .pipelines import incremental
+
+        view = Table(args.view)
+        out["snapshot"] = incremental.refresh_conv_count_view(Table(args.source), view)
+        out["synced"] = incremental.synced_snapshot(view)
     elif args.cmd == "snapshots":
         from .state import manifest
 

@@ -80,8 +80,51 @@ def truncate_max(s: str) -> str | None:
     return None  # unbounded
 
 
+#: bloom-filter parameters for string stats columns (Delta bloom-index
+#: analog): m bits / k probes, only built when the file's distinct count
+#: stays under BLOOM_MAX_DISTINCT (load ≤ ~0.25 → fpr ≈ 2-7%). Hashing is
+#: the engine's stable blake2b hash64, split into two 32-bit halves for
+#: double hashing — writer/reader must agree forever, so these are
+#: protocol constants, not config.
+BLOOM_BITS = 4096
+BLOOM_K = 3
+BLOOM_MAX_DISTINCT = 4096
+
+
+def _bloom_positions(value: str) -> list[int]:
+    from ..hashing import hash64_str
+
+    h = hash64_str(value)
+    h1, h2 = h & 0xFFFFFFFF, (h >> 32) | 1
+    return [(h1 + i * h2) % BLOOM_BITS for i in range(BLOOM_K)]
+
+
+def bloom_build(values) -> str | None:
+    """base64 bloom of the distinct string values, or None if too many."""
+    import numpy as np
+
+    if len(values) > BLOOM_MAX_DISTINCT:
+        return None
+    bits = np.zeros(BLOOM_BITS // 8, dtype=np.uint8)
+    for v in values:
+        if v is None:
+            continue
+        for p in _bloom_positions(v):
+            bits[p >> 3] |= 1 << (p & 7)
+    return base64.b64encode(bits.tobytes()).decode()
+
+
+def bloom_may_contain(b64: str, value: str) -> bool:
+    bits = base64.b64decode(b64)
+    return all(bits[p >> 3] & (1 << (p & 7)) for p in _bloom_positions(value))
+
+
 def compute_stats(table: pa.Table, cols: list[str] | None = None) -> dict:
-    """min/max/null-count per (primitive) column — Delta file-stats analog."""
+    """min/max/null-count per (primitive) column — Delta file-stats analog.
+    String stats columns additionally carry a small bloom filter of the
+    file's distinct values (when bounded), so EQUALITY predicates can skip
+    files whose [min, max] range overlaps but which don't hold the key —
+    the pre-clustering case where every file spans a wide key range."""
     out = {}
     names = cols if cols is not None else table.schema.names
     for name in names:
@@ -109,6 +152,13 @@ def compute_stats(table: pa.Table, cols: list[str] | None = None) -> dict:
         if isinstance(hi, str):
             hi = truncate_max(hi)
         out[name] = {"min": lo, "max": hi, "nulls": nulls}
+        if pa.types.is_string(t):
+            uniq = pc.unique(
+                col.combine_chunks() if isinstance(col, pa.ChunkedArray) else col
+            )
+            bloom = bloom_build(uniq.to_pylist())
+            if bloom is not None:
+                out[name]["bloom"] = bloom
     return out
 
 
@@ -143,6 +193,17 @@ def prune(entries: pa.Table, predicates: dict[str, tuple] | None) -> pa.Table:
                 ok = False
                 break
             if hi is not None and cmin is not None and cmin > hi:
+                ok = False
+                break
+            # equality point lookup: bloom skips files whose range overlaps
+            # but which never contained the key
+            if (
+                lo is not None
+                and lo == hi
+                and isinstance(lo, str)
+                and cs.get("bloom")
+                and not bloom_may_contain(cs["bloom"], lo)
+            ):
                 ok = False
                 break
         keep.append(ok)

@@ -69,3 +69,51 @@ def test_conv_scan_prunes_to_single_partition(tmp_table_dir, ray_session):
     )
     got = got.filter(pc.equal(got["conv_id"], conv))
     assert got.num_rows == base.filter(pc.equal(base["conv_id"], conv)).num_rows
+
+
+def test_bloom_prunes_point_lookup_beyond_minmax(tmp_table_dir, ray_session):
+    """Interleave conversations so every file's conv_id [min, max] range
+    overlaps every other's — range stats alone keep all files; the per-file
+    bloom still isolates the one file holding the probed conversation."""
+    import pyarrow as pa
+
+    from e2e_ocsf_cyber_lakehouse_blueprint_ray.state import manifest
+
+    base = synth.transcripts(0.001)
+    t = Table.create(
+        tmp_table_dir,
+        TRANSCRIPT,
+        partition_spec="none",  # one dir: file ranges interleave maximally
+        config=SMALL,
+        stats_cols=TRANSCRIPT_STATS_COLS,
+    )
+    # shard WHOLE conversations round-robin across files: each conv lives in
+    # one file, but every file's [min, max] conv range spans the whole table
+    codes = base["conv_id"].dictionary_encode().combine_chunks().indices.to_numpy(
+        zero_copy_only=False
+    )
+    for shard in range(7):
+        part = base.filter(pa.array(codes % 7 == shard))
+        t.write_table(part, rows_per_file=part.num_rows, name_prefix=f"s{shard}")
+    ents = t.entries()
+    assert ents.num_rows >= 6
+
+    conv = base["conv_id"][0].as_py()
+    files_with_conv = 0
+    import json
+
+    for s in ents["stats"].to_pylist():
+        st = json.loads(s)
+        assert "bloom" in st["conv_id"], "string stats should carry a bloom"
+        if manifest.bloom_may_contain(st["conv_id"]["bloom"], conv):
+            files_with_conv += 1
+
+    pruned = t.pruned_entries(predicates={"conv_id": (conv, conv)})
+    # min/max alone keeps everything (interleaved); bloom must do better
+    assert pruned.num_rows == files_with_conv < ents.num_rows
+
+    # soundness: the pruned scan still returns every row of the conv
+    got = t.read_arrow(predicates={"conv_id": (conv, conv)})
+    got = got.filter(pc.equal(got["conv_id"], conv))
+    expected = base.filter(pc.equal(base["conv_id"], conv))
+    assert got.num_rows == expected.num_rows
