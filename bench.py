@@ -38,6 +38,7 @@ BENCH_QUERIES = [
     "q_lang_id",
     "q_ann_topk",
     "q_asof_orders",
+    "q_hash_join",
 ]
 
 
