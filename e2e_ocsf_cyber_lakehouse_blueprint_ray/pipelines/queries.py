@@ -623,6 +623,34 @@ def q_hash_join_outer(sf_dir: str):
     )
 
 
+def q_rolling_window(sf_dir: str):
+    """Per-user ordered ROWS window (3-row rolling sum of value cents):
+    one global range sort + vectorized per-block prefix windows, block-edge
+    heads recomputed from O(blocks x window) context rows — skew-proof
+    (a hot user spans blocks instead of pinning a reducer)."""
+    ds = _read(sf_dir, "events", ["user_id", "event_id", "ts", "value"])
+
+    def to_cents(b: pa.Table) -> pa.Table:
+        val_c = pa.array(_cents(b["value"].to_numpy(zero_copy_only=False), 100))
+        return pa.table(
+            {
+                "user_id": b["user_id"],
+                "event_id": b["event_id"],
+                "ts": b["ts"],
+                "val_c": val_c,
+            }
+        )
+
+    prepared = ds.map_batches(to_cents, batch_format="pyarrow")
+    out = order_mod.rolling_sum(
+        prepared, key="user_id", order_cols=["ts", "event_id"],
+        value_col="val_c", window=3, out_col="roll3_c",
+    )
+    return out.map_batches(
+        lambda b: b.select(["user_id", "event_id", "roll3_c"]), batch_format="pyarrow"
+    )
+
+
 def q_value_quantiles(sf_dir: str):
     """Exact per-event-type discrete quantiles of ``value`` — stored doubles
     picked (not arithmetic), so they hash identically to the SQL side."""
@@ -1621,6 +1649,7 @@ def queries() -> dict:
         "q_hash_join_outer": q_hash_join_outer,
         "q_events_window_stats": q_events_window_stats,
         "q_value_quantiles": q_value_quantiles,
+        "q_rolling_window": q_rolling_window,
         "q_distinct_docs_hll": q_distinct_docs_hll,
         "q_frequent_tokens": q_frequent_tokens,
         "q_part_type_stats": q_part_type_stats,
@@ -1787,6 +1816,13 @@ def oracle_sql() -> dict:
                    CAST(SUM(CASE WHEN o.o_orderkey IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_orders
             FROM customer c LEFT JOIN orders o ON c.c_custkey = o.o_custkey
             GROUP BY c.c_mktsegment
+        """,
+        "q_rolling_window": """
+            SELECT user_id, event_id,
+                   CAST(SUM(CAST(FLOOR(value * 100 + 0.5) AS BIGINT))
+                     OVER (PARTITION BY user_id ORDER BY ts, event_id
+                           ROWS BETWEEN 2 PRECEDING AND CURRENT ROW) AS BIGINT) AS roll3_c
+            FROM events
         """,
         "q_asof_orders": """
             WITH r AS (

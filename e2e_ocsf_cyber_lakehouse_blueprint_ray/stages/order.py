@@ -208,3 +208,101 @@ def pack_sequences(
         )
 
     return keyed.groupby("_bucket").map_groups(pack_group, batch_format="pyarrow")
+
+
+def rolling_sum(
+    ds,
+    *,
+    key: str,
+    order_cols: list[str],
+    value_col: str,
+    window: int,
+    out_col: str = "rolling",
+):
+    """Ordered window aggregate: per ``key``, SUM(value) OVER (ORDER BY
+    order_cols ROWS BETWEEN window-1 PRECEDING AND CURRENT ROW) — the
+    per-key sliding window the Dataset API lacks.
+
+    Shape (the engine's skew-proof sort + segment pattern, cf.
+    q_events_sessionize): ONE global range sort on (key, *order_cols) —
+    Ray balances blocks by rows, so a hot key spans blocks instead of
+    pinning a reducer — then one vectorized pass per sorted block computes
+    prefix-sum rolling windows with run resets. Only rows whose window
+    could cross a block edge are incomplete: ≤ (window−1) head rows of a
+    block's first run, recomputed on the driver from the ≤ (window−1)
+    trailing context rows each block also emits — O(blocks × window) rows,
+    independent of key skew. ``value_col`` must be int64 (round floats to
+    cents first; exact sums, engine-independent hashes).
+    """
+    import ray.data as rd
+
+    w = int(window)
+    if w < 1:
+        raise ValueError("window must be >= 1")
+    SENT = -(2**62)
+
+    def per_block(b: pa.Table) -> pa.Table:
+        n = b.num_rows
+        if n == 0:
+            return b.append_column(out_col, pa.array([], pa.int64())).append_column(
+                "_edge", pa.array([], pa.int8())
+            )
+        k = b[key].to_numpy(zero_copy_only=False)
+        v = b[value_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        starts = np.flatnonzero(np.r_[True, k[1:] != k[:-1]])
+        ends = np.r_[starts[1:], n]
+        run_start = np.repeat(starts, ends - starts)
+        j = np.arange(n)
+        cs = np.r_[0, np.cumsum(v)]
+        lo = np.maximum(j - w + 1, run_start)
+        roll = cs[j + 1] - cs[lo]
+        # head rows: first run of the block, within w-1 of the block edge —
+        # their window may continue into the previous block
+        head = (run_start == 0) & (j - run_start < w - 1)
+        # context rows: last run's trailing min(w-1, len) rows — the next
+        # block's heads may need them (emitted as context only, not output)
+        last_start = starts[-1]
+        ctx = (run_start == last_start) & (j >= n - (w - 1)) if w > 1 else np.zeros(n, bool)
+        edge = np.where(head, 1, 0) + np.where(ctx, 2, 0)  # 1=head 2=ctx 3=both
+        out = b.append_column(out_col, pa.array(np.where(head, SENT, roll)))
+        return out.append_column("_edge", pa.array(edge.astype(np.int8)))
+
+    sorted_ds = ds.sort([key] + order_cols)
+    marked = sorted_ds.map_batches(per_block, batch_format="pyarrow", batch_size=None).materialize()
+
+    # completed rows = everything that is not a head (flags 0 and 2 —
+    # context-only rows carry correct windows, they are just INPUTS for the
+    # next block's heads)
+    done = marked.map_batches(
+        lambda b: b.filter(
+            pc.equal(pc.bit_wise_and(b["_edge"], 1), 0)
+        ).drop_columns(["_edge"]),
+        batch_format="pyarrow",
+    )
+    edge_parts = [
+        b.filter(pc.greater(b["_edge"], 0))
+        for b in marked.iter_batches(batch_size=None, batch_format="pyarrow")
+    ]
+    edge_parts = [b for b in edge_parts if b.num_rows]
+    if not edge_parts:
+        return done
+    et = pa.concat_tables(edge_parts, promote_options="default").combine_chunks()
+    et = et.sort_by([(key, "ascending")] + [(c, "ascending") for c in order_cols])
+    k = et[key].to_numpy(zero_copy_only=False)
+    v = et[value_col].to_numpy(zero_copy_only=False).astype(np.int64)
+    flags = et["_edge"].to_numpy(zero_copy_only=False)
+    starts = np.flatnonzero(np.r_[True, k[1:] != k[:-1]])
+    run_start = np.repeat(starts, np.r_[starts[1:], len(k)] - starts)
+    j = np.arange(len(k))
+    cs = np.r_[0, np.cumsum(v)]
+    lo = np.maximum(j - w + 1, run_start)
+    roll = cs[j + 1] - cs[lo]
+    # within w-1 of a head row every real predecessor is present in the
+    # edge union (each trailing segment ships its last w-1 rows), so the
+    # union-order window IS the true window for head rows
+    fixed = (
+        et.set_column(et.schema.get_field_index(out_col), out_col, pa.array(roll))
+        .filter(pa.array((flags == 1) | (flags == 3)))
+        .drop_columns(["_edge"])
+    )
+    return done.union(rd.from_arrow(fixed))

@@ -174,3 +174,49 @@ def test_decontaminate_planted_grams(ray_session):
     assert out == {1: 1, 2: 0, 3: 3}
     dropped = decontaminate.mark_contaminated(train, ref, k=8, drop_clean=True).take_all()
     assert sorted(r["doc_id"] for r in dropped) == [1, 3]
+
+
+def test_rolling_sum_matches_duckdb_window(ray_session):
+    """Per-key ROWS-window sums vs DuckDB's window function — including a
+    hot key long enough to span many sorted blocks (the head/context
+    stitching path)."""
+    import duckdb
+    import numpy as np
+    import ray.data as rd
+
+    from e2e_ocsf_cyber_lakehouse_blueprint_ray.stages import order as order_mod
+
+    rng = np.random.default_rng(21)
+    uid = np.r_[rng.integers(0, 25, 800), np.full(400, 7)]  # key 7 is hot
+    seq = np.arange(len(uid))
+    rng.shuffle(seq)  # arbitrary input order; op must sort
+    t = pa.table(
+        {
+            "user_id": pa.array(uid[seq], pa.int64()),
+            "seq": pa.array(seq, pa.int64()),
+            "val": pa.array(rng.integers(-50, 50, len(uid))[seq], pa.int64()),
+        }
+    )
+    for w in (1, 3, 8):
+        got_ds = order_mod.rolling_sum(
+            rd.from_arrow(t).repartition(11),
+            key="user_id",
+            order_cols=["seq"],
+            value_col="val",
+            window=w,
+        )
+        got = pa.concat_tables(
+            got_ds.iter_batches(batch_size=None, batch_format="pyarrow"),
+            promote_options="default",
+        ).sort_by([("user_id", "ascending"), ("seq", "ascending")])
+        con = duckdb.connect()
+        con.register("t", t)
+        exp = con.execute(
+            f"""SELECT user_id, seq, val,
+                       SUM(val) OVER (PARTITION BY user_id ORDER BY seq
+                                      ROWS BETWEEN {w - 1} PRECEDING AND CURRENT ROW) AS rolling
+                FROM t ORDER BY user_id, seq"""
+        ).arrow()
+        assert got.num_rows == exp.num_rows, f"w={w}"
+        assert got["rolling"].to_pylist() == exp["rolling"].to_pylist(), f"w={w}"
+        assert got["seq"].to_pylist() == exp["seq"].to_pylist(), f"w={w}"
