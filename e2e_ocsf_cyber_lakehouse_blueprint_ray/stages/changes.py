@@ -11,15 +11,17 @@ files directly —
                                                         the path column)
     sort by a 64-bit content hash                      (the ONE shuffle;
                                                         key is 8 bytes/row)
-    per block: Arrow C++ group_by(all columns) → sum(side); groups whose
-    hash is the block's min/max MAY straddle a block boundary, so those are
-    held out as partials — ≤ 2 distinct hashes per block, a driver-side
-    exact combine over O(blocks) rows finishes them
+    per block: Arrow C++ group_by(content-key string) → sum(side); groups
+    whose hash is the block's min/max MAY straddle a block boundary, so
+    those are held out as partials — ≤ 2 distinct hashes per block, a
+    driver-side exact combine over O(blocks) rows finishes them
     net < 0 ⇒ 'removed', net > 0 ⇒ 'added', 0 ⇒ carried (compaction /
     clustering moves cancel out — a pure-maintenance diff is EMPTY)
 
-Netting always groups by the FULL row content (the hash only routes the
-shuffle), so 64-bit collisions can never cancel or merge distinct rows. An
+Netting always groups by the FULL row content — encoded as one exact,
+NON-NULL key string per row (nullable raw columns make unreliable Arrow
+group keys; the hash only routes the shuffle) — so 64-bit collisions can
+never cancel or merge distinct rows. An
 update surfaces as one 'removed' (old version) plus one 'added' (new
 version). Multiset note: nets are emitted once per distinct content with
 ``|net|`` = 1 expected for keyed tables; duplicate-row tables net to ±k and
@@ -30,9 +32,10 @@ opt into implicitly via row-level DML support
 (/root/reference/utilities/utils.py:90-95); the reference's
 ``metadata.log_version`` selective-deletion convention
 (/root/reference/transformations/mappings/ocsf/iam/gold_github_audit_logs.py:36-37)
-is the intended consumer of such a feed. Both snapshots must share a
-readable schema (schema evolution between the two snapshots is out of
-scope — the manifest keeps per-snapshot schemas, so callers can check).
+is the intended consumer of such a feed. Schema evolution between the two
+snapshots is supported: both sides align to the TARGET snapshot's schema
+(old-side files null-fill evolved columns), so carried rows still cancel
+across an evolution + rewrite.
 """
 
 from __future__ import annotations
@@ -45,7 +48,7 @@ import pyarrow.compute as pc
 
 from ..table import Table
 
-_NET, _EDGE, _HASH = "_net", "_edge", "_h"
+_NET, _EDGE, _HASH, _KEY = "_net", "_edge", "_h", "_k"
 
 
 def _content_key(t: pa.Table, cols: list[str]) -> pa.Array:
@@ -63,10 +66,19 @@ def _content_key(t: pa.Table, cols: list[str]) -> pa.Array:
     ).combine_chunks()
 
 
-def _net_table(t: pa.Table, keys: list[str]) -> pa.Table:
-    """Exact per-content signed sum: group by every content column."""
-    agg = t.group_by(keys).aggregate([(_NET, "sum")])
-    return agg.select(keys + [f"{_NET}_sum"]).rename_columns(keys + [_NET])
+def _net_table(t: pa.Table, cols: list[str]) -> pa.Table:
+    """Exact per-content signed sum. Groups by the non-null content-key
+    string (grouping by raw nullable columns is unreliable in Arrow's hash
+    aggregate); content columns ride along via ``min``, which is exact
+    because every row in a group is identical by construction."""
+    agg = t.group_by([_KEY]).aggregate(
+        [(_NET, "sum")] + [(c, "min") for c in cols + [_HASH]]
+    )
+    out = {c: agg[f"{c}_min"] for c in cols}
+    out[_HASH] = agg[f"{_HASH}_min"]
+    out[_KEY] = agg[_KEY]
+    out[_NET] = agg[f"{_NET}_sum"]
+    return pa.table(out)
 
 
 def _label(t: pa.Table, cols: list[str]) -> pa.Table:
@@ -91,26 +103,49 @@ def snapshot_changes(table: Table, from_id: int, to_id: int):
     if not removed_paths and not added_paths:
         return rd.from_arrow(out_schema.empty_table())
 
-    paths = [os.path.join(table.dir, p) for p in removed_paths + added_paths]
-    removed_abs = pa.array(
-        [os.path.join(table.dir, p) for p in removed_paths], pa.string()
-    )
-    ds = rd.read_parquet(paths, include_paths=True)
+    def tag_and_hash(side_val: int):
+        def fn(b: pa.Table) -> pa.Table:
+            import polars as pl
 
-    def tag_and_hash(b: pa.Table) -> pa.Table:
-        import polars as pl
+            # align to the target snapshot's schema: evolved (added) columns
+            # null-fill on the old side, so a row whose file predates the
+            # evolution diffs as removed(old shape) + added(new shape) only
+            # when its content actually changed under the target schema
+            aligned = pa.table(
+                {
+                    c: (
+                        b[c].cast(schema.field(c).type)
+                        if c in b.schema.names
+                        else pa.nulls(b.num_rows, schema.field(c).type)
+                    )
+                    for c in cols
+                }
+            )
+            key = _content_key(aligned, cols)
+            h = pl.from_arrow(key).hash(seed=0).to_numpy().astype(np.uint64).astype(np.int64)
+            side = pa.array(np.full(b.num_rows, side_val, np.int64))
+            return (
+                aligned.append_column(_KEY, key)
+                .append_column(_NET, side)
+                .append_column(_HASH, pa.array(h, pa.int64()))
+            )
 
-        in_removed = pc.is_in(b["path"], value_set=removed_abs)
-        side = pc.if_else(in_removed, pa.scalar(-1, pa.int64()), pa.scalar(1, pa.int64()))
-        b = b.drop_columns(["path"])
-        key = _content_key(b, cols)
-        h = pl.from_arrow(key).hash(seed=0).to_numpy().astype(np.uint64).astype(np.int64)
-        return b.append_column(_NET, side).append_column(_HASH, pa.array(h, pa.int64()))
+        return fn
+
+    sides = []
+    for paths, side_val in ((removed_paths, -1), (added_paths, 1)):
+        if paths:
+            sides.append(
+                rd.read_parquet(
+                    [os.path.join(table.dir, p) for p in paths]
+                ).map_batches(tag_and_hash(side_val), batch_format="pyarrow")
+            )
+    ds = sides[0] if len(sides) == 1 else sides[0].union(sides[1])
 
     def per_block_net(b: pa.Table) -> pa.Table:
         if b.num_rows == 0:
             return b.append_column(_EDGE, pa.array([], pa.bool_()))
-        agg = _net_table(b, cols + [_HASH])
+        agg = _net_table(b, cols)
         hmin, hmax = pc.min_max(b[_HASH]).values()
         edge = pc.or_(pc.equal(agg[_HASH], hmin), pc.equal(agg[_HASH], hmax))
         # interior groups are complete: drop net-0 (carried) rows right here
@@ -118,8 +153,7 @@ def snapshot_changes(table: Table, from_id: int, to_id: int):
         return agg.filter(keep).append_column(_EDGE, edge.filter(keep))
 
     netted = (
-        ds.map_batches(tag_and_hash, batch_format="pyarrow")
-        .sort(_HASH)
+        ds.sort(_HASH)
         .map_batches(per_block_net, batch_format="pyarrow", batch_size=None)
         .materialize()  # diff-sized, not table-sized: read twice below
     )

@@ -121,7 +121,29 @@ class BinRewriter:
 
     def _read_inputs(self, inputs: list[str]) -> pa.Table | None:
         tabs = [pq.read_table(os.path.join(self.table.dir, p)) for p in inputs]
-        return pa.concat_tables(tabs).combine_chunks() if tabs else None
+        if not tabs:
+            return None
+        target = self.table.schema()
+        aligned = []
+        for t in tabs:
+            if t.schema.equals(target):
+                aligned.append(t)
+                continue
+            # pre-evolution file (mergeSchema analog): null-fill columns the
+            # snapshot schema added since this file was written
+            aligned.append(
+                pa.table(
+                    {
+                        f.name: (
+                            t[f.name].cast(f.type)
+                            if f.name in t.schema.names
+                            else pa.nulls(t.num_rows, f.type)
+                        )
+                        for f in target
+                    }
+                )
+            )
+        return pa.concat_tables(aligned).combine_chunks()
 
     def _apply_merge(
         self, t: pa.Table | None, partition: str, apply_extra: bool = True

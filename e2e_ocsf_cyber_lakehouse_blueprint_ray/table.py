@@ -207,6 +207,11 @@ class Table:
         # on full-schema scans.)
         if columns is None:
             read_kwargs.setdefault("partitioning", None)
+            # pin the snapshot schema so evolved columns survive whatever
+            # file the reader samples first: pyarrow.dataset infers from one
+            # fragment, and a pre-evolution fragment would silently DROP
+            # columns newer files carry (pre-evolution files null-fill)
+            read_kwargs.setdefault("schema", self.schema(snapshot_id))
         return rd.read_parquet(paths, columns=columns, **read_kwargs)
 
     def read_arrow(
@@ -224,7 +229,26 @@ class Table:
             return sch.empty_table() if columns is None else pa.schema(
                 [sch.field(c) for c in columns]
             ).empty_table()
-        return pa.concat_tables(pq.read_table(p, columns=columns) for p in paths)
+        tabs = [pq.read_table(p, columns=columns) for p in paths]
+        target = self.schema(snapshot_id)
+        if columns is not None:
+            target = pa.schema([target.field(c) for c in columns])
+        aligned = [
+            t
+            if t.schema.equals(target)
+            else pa.table(
+                {
+                    f.name: (
+                        t[f.name].cast(f.type)
+                        if f.name in t.schema.names
+                        else pa.nulls(t.num_rows, f.type)
+                    )
+                    for f in target
+                }
+            )
+            for t in tabs
+        ]
+        return pa.concat_tables(aligned)
 
     # -- write path ---------------------------------------------------------
 

@@ -170,3 +170,44 @@ def test_delete_where_drops_contained_files_without_rewrite(tmp_table_dir, ray_s
         )
     )
     assert sorted_scan(t).equals(expected)
+
+
+def test_changes_and_compact_across_schema_evolution(tmp_table_dir, ray_session):
+    """mergeSchema end-to-end: evolve the table with a new column, compact
+    the MIXED-schema file set, and diff across the evolution — carried old
+    rows (null-filled) must cancel; only the evolved wave surfaces."""
+    import ray.data as rd
+
+    from e2e_ocsf_cyber_lakehouse_blueprint_ray.schema import TRANSCRIPT
+
+    data = synth.transcripts(0.001)
+    t = make_table(tmp_table_dir, data)
+    pre = t.current_snapshot_id()
+
+    wave2 = data.slice(0, 300)
+    wave2 = wave2.set_column(
+        wave2.schema.get_field_index("turn_idx"),
+        "turn_idx",
+        pc.add(wave2["turn_idx"], 20_000).cast(pa.int32()),
+    ).append_column("lang", pa.array(["en"] * 300))
+    evolved = TRANSCRIPT.append(pa.field("lang", pa.string()))
+    t.append_dataset(rd.from_arrow(wave2), evolve_schema=evolved, name_prefix="w2")
+    assert t.schema().names[-1] == "lang"
+
+    # compaction must rewrite mixed old/new-schema files (null-fill)
+    compact_mod.compact(t)
+    got = t.read_arrow()
+    assert set(got.schema.names) == set(evolved.names)
+    assert got.num_rows == data.num_rows + 300
+    en = got.filter(pc.equal(pc.fill_null(got["lang"], ""), "en"))
+    assert en.num_rows == 300
+
+    # streaming scan keeps the evolved column whatever fragment goes first
+    sc = t.scan()
+    assert "lang" in pa.schema(sc.schema().base_schema).names
+
+    # diff across evolution + compaction: old rows null-fill and cancel
+    diff = _collect(changes_mod.snapshot_changes(t, pre, t.current_snapshot_id()))
+    assert set(diff["change"].to_pylist()) == {"added"}
+    assert diff.num_rows == 300
+    assert set(diff["lang"].to_pylist()) == {"en"}
