@@ -162,18 +162,30 @@ def run_bench() -> dict:
         cluster.cluster(t, mode="auto", curve="zorder")
         t_cluster = time.time() - t1
         t2 = time.time()
+        pre_merge = t.current_snapshot_id()
         merge.merge(t, src)
         t_merge = time.time() - t2
         t3 = time.time()
         scanned = t.scan(columns=["conv_id", "turn_idx"]).count()
         t_scan = time.time() - t3
         headline = time.time() - t0
+        # CDC feed across the merge (not part of the headline: it's a
+        # consumer-side read, timed for its own trend line)
+        from e2e_ocsf_cyber_lakehouse_blueprint_ray.stages import changes as changes_mod
+
+        t4 = time.time()
+        changes_rows = changes_mod.snapshot_changes(
+            t, pre_merge, t.current_snapshot_id()
+        ).count()
+        t_changes = time.time() - t4
         run = dict(
             headline=headline,
             t_compact=t_compact,
             t_cluster=t_cluster,
             t_merge=t_merge,
             t_scan=t_scan,
+            t_changes=t_changes,
+            changes_rows=changes_rows,
             scanned=scanned,
         )
         if best is None or run["headline"] < best["headline"]:
@@ -223,6 +235,7 @@ def run_bench() -> dict:
             "maint_cluster_zorder": round(t_cluster, 3),
             "maint_merge": round(t_merge, 3),
             "maint_verify_scan": round(t_scan, 3),
+            "maint_changes_feed": round(best["t_changes"], 3),
         }
     )
 

@@ -87,10 +87,31 @@ def _label(t: pa.Table, cols: list[str]) -> pa.Table:
     return nz.select(cols).append_column("change", change)
 
 
+#: phase-1 partials fold on the driver below this many rows (~24 B each);
+#: above it a distributed narrow-row sort takes over
+PARTIAL_DRIVER_MAX_ROWS = 8_000_000
+#: phase-2 matching rows net on the driver below this many changed hashes
+#: (full rows — keep the cap conservative); above it the distributed exact
+#: netting runs on the subset
+SUBSET_DRIVER_MAX_ROWS = 500_000
+
+
 def snapshot_changes(table: Table, from_id: int, to_id: int):
     """Lazy Dataset of net row changes between two snapshots: full rows of
-    ``to_id``'s schema plus a ``change`` column. Only manifest-diff files
-    are read; the shuffle key is one int64 per row."""
+    ``to_id``'s schema plus a ``change`` column.
+
+    Two phases so the shuffle is proportional to the CHANGE set, not the
+    rewritten file set: (1) net per 128-bit content hash — per-batch
+    pre-aggregated (h1, h2, net) partials, 24 bytes/row through the
+    groupby; (2) re-read the diff files keeping only rows of nonzero-net
+    hashes (broadcast sorted hash set, searchsorted membership) and run
+    the exact content-key netting on that churn-sized subset. A pure
+    maintenance diff finishes after phase 1 with an empty hash set. When
+    the changed set exceeds the broadcast budget the exact netting simply
+    runs over everything (the diff ≈ the data then). Phase-1 zero-nets of
+    two DISTINCT contents would need a 128-bit hash collision; phase 2
+    stays content-exact.
+    """
     import ray.data as rd
 
     ea = set(table.entries(from_id)["path"].to_pylist())
@@ -103,66 +124,204 @@ def snapshot_changes(table: Table, from_id: int, to_id: int):
     if not removed_paths and not added_paths:
         return rd.from_arrow(out_schema.empty_table())
 
-    def tag_and_hash(side_val: int):
-        def fn(b: pa.Table) -> pa.Table:
-            import polars as pl
+    def _aligned(b: pa.Table) -> pa.Table:
+        # align to the target snapshot's schema: evolved (added) columns
+        # null-fill on the old side, so a row whose file predates the
+        # evolution diffs as removed(old shape) + added(new shape) only
+        # when its content actually changed under the target schema
+        return pa.table(
+            {
+                c: (
+                    b[c].cast(schema.field(c).type)
+                    if c in b.schema.names
+                    else pa.nulls(b.num_rows, schema.field(c).type)
+                )
+                for c in cols
+            }
+        )
 
-            # align to the target snapshot's schema: evolved (added) columns
-            # null-fill on the old side, so a row whose file predates the
-            # evolution diffs as removed(old shape) + added(new shape) only
-            # when its content actually changed under the target schema
-            aligned = pa.table(
+    def _hashes(key: pa.Array) -> tuple[np.ndarray, np.ndarray]:
+        import polars as pl
+
+        s = pl.from_arrow(key)
+        h1 = s.hash(seed=0).to_numpy().astype(np.uint64).astype(np.int64)
+        h2 = s.hash(seed=1).to_numpy().astype(np.uint64).astype(np.int64)
+        return h1, h2
+
+    def _sides(fn_factory):
+        sides = []
+        for paths, side_val in ((removed_paths, -1), (added_paths, 1)):
+            if paths:
+                sides.append(
+                    rd.read_parquet(
+                        [os.path.join(table.dir, p) for p in paths]
+                    ).map_batches(fn_factory(side_val), batch_format="pyarrow")
+                )
+        return sides[0] if len(sides) == 1 else sides[0].union(sides[1])
+
+    # -- phase 1: hash-level netting over narrow partials -------------------
+    def hash_partial(side_val: int):
+        def fn(b: pa.Table) -> pa.Table:
+            a = _aligned(b)
+            h1, h2 = _hashes(_content_key(a, cols))
+            t = pa.table(
                 {
-                    c: (
-                        b[c].cast(schema.field(c).type)
-                        if c in b.schema.names
-                        else pa.nulls(b.num_rows, schema.field(c).type)
-                    )
-                    for c in cols
+                    "_h1": pa.array(h1),
+                    "_h2": pa.array(h2),
+                    _NET: pa.array(np.full(b.num_rows, side_val, np.int64)),
                 }
             )
-            key = _content_key(aligned, cols)
-            h = pl.from_arrow(key).hash(seed=0).to_numpy().astype(np.uint64).astype(np.int64)
-            side = pa.array(np.full(b.num_rows, side_val, np.int64))
+            return t.group_by(["_h1", "_h2"]).aggregate([(_NET, "sum")])
+
+        return fn
+
+    # The partials are one 24-byte row per distinct content per batch. Up to
+    # the cap they fold on the driver (one Arrow group_by — the mergeable-
+    # partials pattern, cf. HLL/k-means); past it, a distributed sort on the
+    # narrow rows + per-block netting + edge combine takes over, where the
+    # sort's fixed per-block overhead is amortized by the (then large) diff.
+    parts: list[pa.Table] = []
+    n_part = 0
+    overflow = False
+    part_iter = _sides(hash_partial).iter_batches(batch_size=None, batch_format="pyarrow")
+    for b in part_iter:
+        parts.append(b.select(["_h1", "_h2", f"{_NET}_sum"]))
+        n_part += b.num_rows
+        if n_part > PARTIAL_DRIVER_MAX_ROWS:
+            overflow = True
+            break
+
+    if not overflow:
+        if not parts:
+            return rd.from_arrow(out_schema.empty_table())
+        pt = pa.concat_tables(parts).combine_chunks()
+        agg = pt.group_by(["_h1", "_h2"]).aggregate([(f"{_NET}_sum", "sum")])
+        nz = agg.filter(pc.not_equal(agg[f"{_NET}_sum_sum"], 0))
+        changed1 = nz["_h1"].to_numpy(zero_copy_only=False).astype(np.int64)
+        changed2 = nz["_h2"].to_numpy(zero_copy_only=False).astype(np.int64)
+    else:
+        # distributed hash netting: sort the narrow partial rows and net per
+        # block, holding out block-edge hashes for a tiny driver combine
+        del parts, part_iter
+
+        def per_block_hash_net(b: pa.Table) -> pa.Table:
+            if b.num_rows == 0:
+                return pa.table(
+                    {
+                        "_h1": pa.array([], pa.int64()),
+                        "_h2": pa.array([], pa.int64()),
+                        "net": pa.array([], pa.int64()),
+                        "_edge": pa.array([], pa.bool_()),
+                    }
+                )
+            agg = b.group_by(["_h1", "_h2"]).aggregate([(f"{_NET}_sum", "sum")])
+            agg = pa.table(
+                {
+                    "_h1": agg["_h1"],
+                    "_h2": agg["_h2"],
+                    "net": agg[f"{_NET}_sum_sum"],
+                }
+            )
+            hmin, hmax = pc.min_max(b["_h1"]).values()
+            edge = pc.or_(pc.equal(agg["_h1"], hmin), pc.equal(agg["_h1"], hmax))
+            keep = pc.or_(edge, pc.not_equal(agg["net"], 0))
+            return agg.filter(keep).append_column("_edge", edge.filter(keep))
+
+        hn = (
+            _sides(hash_partial)
+            .sort("_h1")
+            .map_batches(per_block_hash_net, batch_format="pyarrow", batch_size=None)
+        )
+        interior1: list[np.ndarray] = []
+        interior2: list[np.ndarray] = []
+        edge_parts1: list[pa.Table] = []
+        for b in hn.iter_batches(batch_size=None, batch_format="pyarrow"):
+            nzb = b.filter(pc.and_(pc.invert(b["_edge"]), pc.not_equal(b["net"], 0)))
+            interior1.append(nzb["_h1"].to_numpy(zero_copy_only=False).astype(np.int64))
+            interior2.append(nzb["_h2"].to_numpy(zero_copy_only=False).astype(np.int64))
+            e = b.filter(b["_edge"])
+            if e.num_rows:
+                edge_parts1.append(e.drop_columns(["_edge"]))
+        if edge_parts1:
+            et1 = pa.concat_tables(edge_parts1).combine_chunks()
+            ea1 = et1.group_by(["_h1", "_h2"]).aggregate([("net", "sum")])
+            nze = ea1.filter(pc.not_equal(ea1["net_sum"], 0))
+            interior1.append(nze["_h1"].to_numpy(zero_copy_only=False).astype(np.int64))
+            interior2.append(nze["_h2"].to_numpy(zero_copy_only=False).astype(np.int64))
+        changed1 = np.concatenate(interior1) if interior1 else np.array([], np.int64)
+        changed2 = np.concatenate(interior2) if interior2 else np.array([], np.int64)
+
+    if len(changed1) == 0:
+        return rd.from_arrow(out_schema.empty_table())
+
+    # -- phase 2: exact content netting over the churn-sized subset ---------
+    import ray
+
+    order = np.argsort(changed1, kind="stable")
+    cref = ray.put((changed1[order], changed2[order]))
+
+    def tag_subset(side_val: int):
+        def fn(b: pa.Table) -> pa.Table:
+            a = _aligned(b)
+            key = _content_key(a, cols)
+            h1, h2 = _hashes(key)
+            c1, c2 = ray.get(cref)
+            pos = np.searchsorted(c1, h1)
+            posc = np.clip(pos, 0, max(len(c1) - 1, 0))
+            hit = (c1[posc] == h1) if len(c1) else np.zeros(len(h1), bool)
+            ok = hit & (c2[posc] == h2)
+            # h1 ties in the changed set: scan the tie run for a matching h2
+            amb = hit & ~ok
+            for i in np.flatnonzero(amb):
+                j = pos[i]
+                while j < len(c1) and c1[j] == h1[i]:
+                    if c2[j] == h2[i]:
+                        ok[i] = True
+                        break
+                    j += 1
+            mask = pa.array(ok)
+            a, key = a.filter(mask), key.filter(mask)
+            side = pa.array(np.full(a.num_rows, side_val, np.int64))
             return (
-                aligned.append_column(_KEY, key)
+                a.append_column(_KEY, key)
                 .append_column(_NET, side)
-                .append_column(_HASH, pa.array(h, pa.int64()))
+                .append_column(_HASH, pa.array(h1[ok]))
             )
 
         return fn
 
-    sides = []
-    for paths, side_val in ((removed_paths, -1), (added_paths, 1)):
-        if paths:
-            sides.append(
-                rd.read_parquet(
-                    [os.path.join(table.dir, p) for p in paths]
-                ).map_batches(tag_and_hash(side_val), batch_format="pyarrow")
-            )
-    ds = sides[0] if len(sides) == 1 else sides[0].union(sides[1])
+    subset = _sides(tag_subset)
+    if len(changed1) <= SUBSET_DRIVER_MAX_ROWS:
+        # churn-bounded: collect the matching rows and net exactly in one
+        # Arrow group_by on the driver — no shuffle at all
+        rows = [
+            b
+            for b in subset.iter_batches(batch_size=None, batch_format="pyarrow")
+            if b.num_rows
+        ]
+        if not rows:
+            return rd.from_arrow(out_schema.empty_table())
+        rt = pa.concat_tables(rows).combine_chunks()
+        return rd.from_arrow(_label(_net_table(rt, cols), cols).cast(out_schema))
 
+    # large churn: the original distributed exact netting over the subset
     def per_block_net(b: pa.Table) -> pa.Table:
         if b.num_rows == 0:
             return b.append_column(_EDGE, pa.array([], pa.bool_()))
         agg = _net_table(b, cols)
         hmin, hmax = pc.min_max(b[_HASH]).values()
         edge = pc.or_(pc.equal(agg[_HASH], hmin), pc.equal(agg[_HASH], hmax))
-        # interior groups are complete: drop net-0 (carried) rows right here
         keep = pc.or_(edge, pc.not_equal(agg[_NET], 0))
         return agg.filter(keep).append_column(_EDGE, edge.filter(keep))
 
     netted = (
-        ds.sort(_HASH)
+        subset.sort(_HASH)
         .map_batches(per_block_net, batch_format="pyarrow", batch_size=None)
         .materialize()  # diff-sized, not table-sized: read twice below
     )
-
     interior = netted.map_batches(
         lambda b: _label(b.filter(pc.invert(b[_EDGE])), cols), batch_format="pyarrow"
     )
-    # edge groups: ≤ 2 distinct hashes per block → O(blocks) rows; combine
-    # their partial nets exactly (full-content grouping) on the driver
     edge_parts = [
         b.filter(b[_EDGE])
         for b in netted.iter_batches(batch_size=None, batch_format="pyarrow")

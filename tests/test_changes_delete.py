@@ -211,3 +211,26 @@ def test_changes_and_compact_across_schema_evolution(tmp_table_dir, ray_session)
     assert set(diff["change"].to_pylist()) == {"added"}
     assert diff.num_rows == 300
     assert set(diff["lang"].to_pylist()) == {"en"}
+
+
+def test_changes_distributed_fallback_paths(tmp_table_dir, ray_session, monkeypatch):
+    """Force the overflow paths: phase-1 distributed hash netting and
+    phase-2 distributed exact netting must produce the same diff as the
+    driver-fold fast paths."""
+    data = synth.transcripts(0.001)
+    t = make_table(tmp_table_dir, data)
+    compact_mod.compact(t)
+    pre = t.current_snapshot_id()
+    before = sorted_scan(t)
+    src = derive.derived_merge_source(before)
+    merge_mod.merge(t, src)
+    after = sorted_scan(t)
+
+    monkeypatch.setattr(changes_mod, "PARTIAL_DRIVER_MAX_ROWS", 10)
+    monkeypatch.setattr(changes_mod, "SUBSET_DRIVER_MAX_ROWS", 10)
+    diff = _collect(changes_mod.snapshot_changes(t, pre, t.current_snapshot_id()))
+    added = diff.filter(pc.equal(diff["change"], "added")).drop_columns(["change"])
+    removed = diff.filter(pc.equal(diff["change"], "removed")).drop_columns(["change"])
+    b, a = _row_keys(before), _row_keys(after)
+    assert _row_keys(added) == a - b and added.num_rows == len(a - b)
+    assert _row_keys(removed) == b - a and removed.num_rows == len(b - a)
