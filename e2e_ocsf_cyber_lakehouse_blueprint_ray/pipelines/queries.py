@@ -651,6 +651,32 @@ def q_rolling_window(sf_dir: str):
     )
 
 
+def q_lag_window(sf_dir: str):
+    """Per-user LAG(value cents) ordered by (ts, event_id) — the
+    ordered-window shift primitive, same skew-proof sort + block-edge-fix
+    shape as the rolling window."""
+    ds = _read(sf_dir, "events", ["user_id", "event_id", "ts", "value"])
+
+    def to_cents(b: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "user_id": b["user_id"],
+                "event_id": b["event_id"],
+                "ts": b["ts"],
+                "val_c": pa.array(_cents(b["value"].to_numpy(zero_copy_only=False), 100)),
+            }
+        )
+
+    out = order_mod.lag(
+        ds.map_batches(to_cents, batch_format="pyarrow"),
+        key="user_id", order_cols=["ts", "event_id"], value_col="val_c",
+        offset=1, out_col="prev_val_c",
+    )
+    return out.map_batches(
+        lambda b: b.select(["user_id", "event_id", "prev_val_c"]), batch_format="pyarrow"
+    )
+
+
 def q_value_quantiles(sf_dir: str):
     """Exact per-event-type discrete quantiles of ``value`` — stored doubles
     picked (not arithmetic), so they hash identically to the SQL side."""
@@ -1650,6 +1676,7 @@ def queries() -> dict:
         "q_events_window_stats": q_events_window_stats,
         "q_value_quantiles": q_value_quantiles,
         "q_rolling_window": q_rolling_window,
+        "q_lag_window": q_lag_window,
         "q_distinct_docs_hll": q_distinct_docs_hll,
         "q_frequent_tokens": q_frequent_tokens,
         "q_part_type_stats": q_part_type_stats,
@@ -1822,6 +1849,12 @@ def oracle_sql() -> dict:
                    CAST(SUM(CAST(FLOOR(value * 100 + 0.5) AS BIGINT))
                      OVER (PARTITION BY user_id ORDER BY ts, event_id
                            ROWS BETWEEN 2 PRECEDING AND CURRENT ROW) AS BIGINT) AS roll3_c
+            FROM events
+        """,
+        "q_lag_window": """
+            SELECT user_id, event_id,
+                   LAG(CAST(FLOOR(value * 100 + 0.5) AS BIGINT))
+                     OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_val_c
             FROM events
         """,
         "q_asof_orders": """

@@ -220,3 +220,40 @@ def test_rolling_sum_matches_duckdb_window(ray_session):
         assert got.num_rows == exp.num_rows, f"w={w}"
         assert got["rolling"].to_pylist() == exp["rolling"].to_pylist(), f"w={w}"
         assert got["seq"].to_pylist() == exp["seq"].to_pylist(), f"w={w}"
+
+
+def test_lag_matches_duckdb(ray_session):
+    import duckdb
+    import numpy as np
+    import ray.data as rd
+
+    from e2e_ocsf_cyber_lakehouse_blueprint_ray.stages import order as order_mod
+
+    rng = np.random.default_rng(33)
+    uid = np.r_[rng.integers(0, 20, 600), np.full(300, 4)]  # hot key 4
+    seq = np.arange(len(uid))
+    rng.shuffle(seq)
+    t = pa.table(
+        {
+            "user_id": pa.array(uid[seq], pa.int64()),
+            "seq": pa.array(seq, pa.int64()),
+            "val": pa.array(rng.integers(0, 1000, len(uid))[seq], pa.int64()),
+        }
+    )
+    for d in (1, 4):
+        got_ds = order_mod.lag(
+            rd.from_arrow(t).repartition(9),
+            key="user_id", order_cols=["seq"], value_col="val", offset=d,
+        )
+        got = pa.concat_tables(
+            got_ds.iter_batches(batch_size=None, batch_format="pyarrow"),
+            promote_options="default",
+        ).sort_by([("user_id", "ascending"), ("seq", "ascending")])
+        con = duckdb.connect()
+        con.register("t", t)
+        exp = con.execute(
+            f"""SELECT user_id, seq, val,
+                       LAG(val, {d}) OVER (PARTITION BY user_id ORDER BY seq) AS lag
+                FROM t ORDER BY user_id, seq"""
+        ).arrow()
+        assert got["lag"].to_pylist() == exp["lag"].to_pylist(), f"d={d}"
