@@ -170,14 +170,18 @@ def run_bench() -> dict:
         t_scan = time.time() - t3
         headline = time.time() - t0
         # CDC feed across the merge (not part of the headline: it's a
-        # consumer-side read, timed for its own trend line)
-        from e2e_ocsf_cyber_lakehouse_blueprint_ray.stages import changes as changes_mod
+        # consumer-side read, timed for its own trend line). Skipped in
+        # maintenance-only/scaling mode: its minutes of extra compute
+        # between repeats would perturb the scaling measurement itself.
+        t_changes, changes_rows = None, None
+        if not os.environ.get("BENCH_MAINT_ONLY"):
+            from e2e_ocsf_cyber_lakehouse_blueprint_ray.stages import changes as changes_mod
 
-        t4 = time.time()
-        changes_rows = changes_mod.snapshot_changes(
-            t, pre_merge, t.current_snapshot_id()
-        ).count()
-        t_changes = time.time() - t4
+            t4 = time.time()
+            changes_rows = changes_mod.snapshot_changes(
+                t, pre_merge, t.current_snapshot_id()
+            ).count()
+            t_changes = time.time() - t4
         run = dict(
             headline=headline,
             t_compact=t_compact,
@@ -235,7 +239,11 @@ def run_bench() -> dict:
             "maint_cluster_zorder": round(t_cluster, 3),
             "maint_merge": round(t_merge, 3),
             "maint_verify_scan": round(t_scan, 3),
-            "maint_changes_feed": round(best["t_changes"], 3),
+            **(
+                {"maint_changes_feed": round(best["t_changes"], 3)}
+                if best["t_changes"] is not None
+                else {}
+            ),
         }
     )
 

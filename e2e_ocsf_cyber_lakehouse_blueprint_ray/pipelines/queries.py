@@ -31,6 +31,7 @@ from ..stages import cluster as cluster_mod
 from ..stages import compact as compact_mod
 from ..stages import delete as delete_mod
 from ..stages import dedup as dedup_mod
+from ..stages import expectations as expect_mod
 from ..stages import expire as expire_mod
 from ..stages import joins as joins_mod
 from ..stages import sketch as sketch_mod
@@ -649,6 +650,25 @@ def q_rolling_window(sf_dir: str):
     return out.map_batches(
         lambda b: b.select(["user_id", "event_id", "roll3_c"]), batch_format="pyarrow"
     )
+
+
+def q_expectations(sf_dir: str):
+    """Data-quality expectations (DLT expect analog): per-rule violation
+    counts over events in one streaming pass — per-batch combiner, one row
+    per rule per block to the driver fold."""
+    ds = _read(sf_dir, "events", ["event_type", "value", "props"])
+    rules = [
+        expect_mod.Rule("props_nonempty", lambda b: pc.greater(pc.utf8_length(b["props"]), 0)),
+        expect_mod.Rule(
+            "type_known",
+            lambda b: pc.is_in(
+                b["event_type"],
+                value_set=pa.array(["click", "view", "signup", "error", "purchase"]),
+            ),
+        ),
+        expect_mod.Rule("value_under_100", lambda b: pc.less(b["value"], 100.0)),
+    ]
+    return expect_mod.violation_counts(ds, rules)
 
 
 def q_lag_window(sf_dir: str):
@@ -1677,6 +1697,7 @@ def queries() -> dict:
         "q_value_quantiles": q_value_quantiles,
         "q_rolling_window": q_rolling_window,
         "q_lag_window": q_lag_window,
+        "q_expectations": q_expectations,
         "q_distinct_docs_hll": q_distinct_docs_hll,
         "q_frequent_tokens": q_frequent_tokens,
         "q_part_type_stats": q_part_type_stats,
@@ -1850,6 +1871,20 @@ def oracle_sql() -> dict:
                      OVER (PARTITION BY user_id ORDER BY ts, event_id
                            ROWS BETWEEN 2 PRECEDING AND CURRENT ROW) AS BIGINT) AS roll3_c
             FROM events
+        """,
+        "q_expectations": """
+            SELECT rule, CAST(SUM(failed) AS BIGINT) AS n_failed, COUNT(*) AS n_rows
+            FROM (
+              SELECT 'props_nonempty' AS rule,
+                     CASE WHEN length(props) > 0 THEN 0 ELSE 1 END AS failed FROM events
+              UNION ALL
+              SELECT 'type_known',
+                     CASE WHEN event_type IN ('click','view','signup','error','purchase')
+                          THEN 0 ELSE 1 END FROM events
+              UNION ALL
+              SELECT 'value_under_100',
+                     CASE WHEN value < 100.0 THEN 0 ELSE 1 END FROM events
+            ) GROUP BY rule ORDER BY rule
         """,
         "q_lag_window": """
             SELECT user_id, event_id,

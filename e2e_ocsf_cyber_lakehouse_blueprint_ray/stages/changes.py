@@ -140,12 +140,14 @@ def snapshot_changes(table: Table, from_id: int, to_id: int):
             }
         )
 
-    def _hashes(key: pa.Array) -> tuple[np.ndarray, np.ndarray]:
+    def _hashes(a: pa.Table) -> tuple[np.ndarray, np.ndarray]:
+        # vectorized 2×64-bit row hash straight off the columns — no
+        # per-row key-string materialization in the full-data phase
         import polars as pl
 
-        s = pl.from_arrow(key)
-        h1 = s.hash(seed=0).to_numpy().astype(np.uint64).astype(np.int64)
-        h2 = s.hash(seed=1).to_numpy().astype(np.uint64).astype(np.int64)
+        df = pl.from_arrow(a)
+        h1 = df.hash_rows(seed=0).to_numpy().astype(np.uint64).astype(np.int64)
+        h2 = df.hash_rows(seed=1).to_numpy().astype(np.uint64).astype(np.int64)
         return h1, h2
 
     def _sides(fn_factory):
@@ -163,7 +165,7 @@ def snapshot_changes(table: Table, from_id: int, to_id: int):
     def hash_partial(side_val: int):
         def fn(b: pa.Table) -> pa.Table:
             a = _aligned(b)
-            h1, h2 = _hashes(_content_key(a, cols))
+            h1, h2 = _hashes(a)
             t = pa.table(
                 {
                     "_h1": pa.array(h1),
@@ -263,8 +265,7 @@ def snapshot_changes(table: Table, from_id: int, to_id: int):
     def tag_subset(side_val: int):
         def fn(b: pa.Table) -> pa.Table:
             a = _aligned(b)
-            key = _content_key(a, cols)
-            h1, h2 = _hashes(key)
+            h1, h2 = _hashes(a)
             c1, c2 = ray.get(cref)
             pos = np.searchsorted(c1, h1)
             posc = np.clip(pos, 0, max(len(c1) - 1, 0))
@@ -280,7 +281,9 @@ def snapshot_changes(table: Table, from_id: int, to_id: int):
                         break
                     j += 1
             mask = pa.array(ok)
-            a, key = a.filter(mask), key.filter(mask)
+            a = a.filter(mask)
+            # the exact content key is only built for the churn-sized subset
+            key = _content_key(a, cols)
             side = pa.array(np.full(a.num_rows, side_val, np.int64))
             return (
                 a.append_column(_KEY, key)

@@ -443,3 +443,38 @@ def test_kmeans_streaming_recovers_blobs(ray_session):
     cn = centers / np.linalg.norm(centers, axis=1, keepdims=True)
     for i, c in blob_to_cluster.items():
         assert float(cent[c] @ cn[i]) > 0.99
+
+
+def test_expectations_validate_drop_quarantine(ray_session):
+    import ray.data as rd
+
+    from e2e_ocsf_cyber_lakehouse_blueprint_ray.stages import expectations as ex
+
+    t = pa.table(
+        {
+            "id": pa.array([1, 2, 3, 4, 5], pa.int64()),
+            "v": pa.array([10, -1, None, 50, 200], pa.int64()),
+            "name": pa.array(["a", "", "c", None, "e"]),
+        }
+    )
+    rules = [
+        ex.Rule("v_nonneg", lambda b: pc.greater_equal(b["v"], 0)),
+        ex.Rule("named", lambda b: pc.greater(pc.utf8_length(b["name"]), 0)),
+    ]
+    val = ex.validate(rd.from_arrow(t).repartition(3), rules)
+    rows = {r["id"]: sorted(r["_violations"]) for r in val.take_all()}
+    # nulls fail (SQL CHECK semantics: constraint must evaluate TRUE)
+    assert rows == {
+        1: [],
+        2: ["named", "v_nonneg"],  # empty name AND negative value
+        3: ["v_nonneg"],
+        4: ["named"],
+        5: [],
+    }
+    clean = ex.drop_invalid(ex.validate(rd.from_arrow(t), rules)).take_all()
+    assert sorted(r["id"] for r in clean) == [1, 5]
+    quar = ex.quarantined(ex.validate(rd.from_arrow(t), rules)).take_all()
+    assert sorted(r["id"] for r in quar) == [2, 3, 4]
+    counts = ex.violation_counts(rd.from_arrow(t).repartition(4), rules)
+    got = {r["rule"]: (r["n_failed"], r["n_rows"]) for r in counts.to_pylist()}
+    assert got == {"v_nonneg": (2, 5), "named": (2, 5)}
