@@ -184,6 +184,7 @@ def main(argv=None) -> int:
         t = Table(args.table)
         out["current"] = t.current_snapshot_id()
         out["snapshots"] = manifest.list_snapshot_ids(t.dir)
+        out["history"] = t.history()  # DESCRIBE HISTORY analog
     out["sec"] = round(time.time() - t0, 3)
     print(json.dumps(out))
     return 0

@@ -131,6 +131,38 @@ class Table:
         sch = meta["schema"]
         return list(sch.names) if sch is not None else []
 
+    def history(self) -> list[dict]:
+        """Retained snapshot history, oldest first — the DESCRIBE HISTORY
+        analog. Footer-only reads (no data pages) per snapshot."""
+        out = []
+        for sid in manifest.list_snapshot_ids(self.dir):
+            sch = pq.read_schema(manifest.snap_path(self.dir, sid))
+            raw = sch.metadata or {}
+            out.append(
+                {
+                    "snapshot_id": sid,
+                    "parent_id": int(raw.get(b"engine.parent_id", b"-1").decode()),
+                    "operation": raw.get(b"engine.operation", b"").decode(),
+                    "created_at": float(raw.get(b"engine.created_at", b"0").decode()),
+                }
+            )
+        return out
+
+    def snapshot_id_as_of(self, ts: float) -> int:
+        """Latest retained snapshot committed at or before ``ts`` (unix
+        seconds) — the TIMESTAMP AS OF analog. Compose with
+        ``read_arrow(snapshot_id=...)`` / ``scan`` / ``rollback``."""
+        best = None
+        for h in self.history():
+            if h["created_at"] <= ts and (best is None or h["snapshot_id"] > best):
+                best = h["snapshot_id"]
+        if best is None:
+            raise ValueError(
+                f"no snapshot at or before {ts} (oldest retained: "
+                f"{self.history()[0]['created_at'] if self.history() else 'none'})"
+            )
+        return best
+
     def live_files(self, snapshot_id: int | None = None) -> list[str]:
         ents = self.entries(snapshot_id)
         return [os.path.join(self.dir, p) for p in sorted(ents["path"].to_pylist())]

@@ -167,3 +167,27 @@ def test_set_current_never_regresses(tmp_path):
     assert t.current_snapshot_id() == 2
     manifest.set_current(t.dir, 1)  # stale writer tries to move back
     assert t.current_snapshot_id() == 2
+
+
+def test_history_and_timestamp_as_of(tmp_table_dir):
+    import time
+
+    data = synth.transcripts(0.001)
+    t = make_table(tmp_table_dir, data.slice(0, 300))
+    time.sleep(0.05)
+    mark = time.time()
+    time.sleep(0.05)
+    t.write_table(data.slice(300, 300), name_prefix="w2")
+    h = t.history()
+    assert [r["snapshot_id"] for r in h] == [0, 1, 2]
+    assert h[2]["operation"] == "append" and h[2]["parent_id"] == 1
+    assert h[0]["created_at"] <= h[1]["created_at"] <= h[2]["created_at"]
+    # AS OF the marked instant resolves to snapshot 1, not 2
+    assert t.snapshot_id_as_of(mark) == 1
+    assert t.read_arrow(snapshot_id=t.snapshot_id_as_of(mark)).num_rows == 300
+    assert t.snapshot_id_as_of(time.time()) == 2
+    with pytest.raises(ValueError):
+        t.snapshot_id_as_of(h[0]["created_at"] - 100)
+    # rollback by timestamp: table content returns to the AS OF state
+    t.rollback(t.snapshot_id_as_of(mark))
+    assert t.read_arrow().num_rows == 300
