@@ -81,6 +81,9 @@ def main(argv=None) -> int:
     sp.add_argument("--from-snapshot", type=int, required=True)
     sp.add_argument("--to-snapshot", type=int, default=None)
     sp.add_argument("--out", default=None, help="write the feed as parquet here")
+    sp = sub.add_parser("respec")
+    add_table(sp)
+    sp.add_argument("--spec", required=True, help="e.g. hash:conv_id:512 or col:role")
     sp = sub.add_parser("view-build")
     sp.add_argument("--source", required=True, help="source table dir")
     sp.add_argument("--view", required=True, help="view table dir to create")
@@ -164,6 +167,13 @@ def main(argv=None) -> int:
             feed.write_parquet(args.out)
             out["out"] = args.out
         out.update({"from": args.from_snapshot, "to": to, "rows": feed.count()})
+    elif args.cmd == "respec":
+        from .stages import respec
+
+        out["snapshot"] = respec.repartition_table(
+            Table(args.table), args.spec, use_actor=args.use_actor
+        )
+        out["spec"] = args.spec
     elif args.cmd == "view-build":
         from .config import DEFAULT
         from .pipelines import incremental

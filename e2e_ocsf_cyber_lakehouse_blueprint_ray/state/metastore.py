@@ -36,6 +36,7 @@ class Metastore:
         expected_parent: int | None = None,
         evolve_schema_ser: bytes | None = None,
         extra: dict | None = None,
+        new_partition_spec: str | None = None,
     ) -> int:
         import pyarrow as pa
 
@@ -55,6 +56,7 @@ class Metastore:
             expected_parent=expected_parent,
             evolve_schema=evolve,
             extra=extra,
+            new_partition_spec=new_partition_spec,
         )
 
     def current(self) -> int | None:

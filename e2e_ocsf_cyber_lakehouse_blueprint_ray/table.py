@@ -169,11 +169,15 @@ class Table:
 
     # -- partitioning -------------------------------------------------------
 
-    def partition_codes(self, batch: pa.Table) -> tuple[np.ndarray, np.ndarray]:
+    def partition_codes(
+        self, batch: pa.Table, spec: str | None = None
+    ) -> tuple[np.ndarray, np.ndarray]:
         """(int code per row, dir name per code). Codes keep the hot paths
         vectorized: int argsort + one formatted name per DISTINCT partition,
-        never a Python string per row."""
-        spec = self.partition_spec()
+        never a Python string per row. ``spec`` overrides the snapshot's
+        partition spec (partition-evolution rewrites route by the NEW spec
+        before it is committed)."""
+        spec = spec if spec is not None else self.partition_spec()
         if spec == "none":
             return np.zeros(batch.num_rows, np.int64), np.array([""], dtype=object)
         kind, _, rest = spec.partition(":")
@@ -294,8 +298,8 @@ class Table:
             rel, partition, batch, nbytes, stats_cols or self.stats_cols() or None
         )
 
-    def split_by_partition(self, batch: pa.Table) -> dict[str, pa.Table]:
-        codes, names = self.partition_codes(batch)
+    def split_by_partition(self, batch: pa.Table, spec: str | None = None) -> dict[str, pa.Table]:
+        codes, names = self.partition_codes(batch, spec)
         if len(codes) == 0:
             return {}
         order = np.argsort(codes, kind="stable")  # int sort, not string sort
@@ -339,22 +343,17 @@ class Table:
         added = pa.Table.from_pylist(entries, schema=manifest.ENTRY_SCHEMA) if entries else None
         return self.commit(added=added, removed=[], operation=operation, use_actor=use_actor)
 
-    def append_dataset(
+    def stage_dataset_files(
         self,
         ds,
         *,
-        operation: str = "append",
-        use_actor: bool = False,
         sort_within_file: list[str] | None = None,
         name_prefix: str = "a",
-        evolve_schema: pa.Schema | None = None,
-        extra: dict | None = None,
-    ) -> int:
-        """Append a Ray Dataset: an actor-pool writer stage routes each
-        batch's rows to partition dirs and writes Parquet files (one writer
-        amortized per actor); only the manifest entries — a few hundred bytes
-        per file — come back to the driver for a single commit. The data
-        itself never materializes on the driver."""
+        spec: str | None = None,
+    ) -> pa.Table | None:
+        """Write a Dataset's rows as partition-routed Parquet files WITHOUT
+        committing; returns the manifest entries (one small row per file).
+        ``spec`` overrides the partition routing (partition evolution)."""
         table_dir, cfg_ = self.dir, self.config
         stats_cols = self.stats_cols()
 
@@ -372,7 +371,7 @@ class Table:
                     batch, sort_keys=[(k, "ascending") for k in sort_within_file]
                 )
                 batch = batch.take(idx)
-            for seq, (part, chunk) in enumerate(t.split_by_partition(batch).items()):
+            for seq, (part, chunk) in enumerate(t.split_by_partition(batch, spec).items()):
                 name = f"{name_prefix}-{wid}-{seq:05d}.parquet"
                 entries.append(t.write_file(chunk, part, name, stats_cols))
             return pa.Table.from_pylist(entries, schema=manifest.ENTRY_SCHEMA)
@@ -384,10 +383,30 @@ class Table:
             concurrency=cfg_.rewrite_concurrency,
         )
         entry_rows = ent_ds.take_all()  # tiny: one row per written file
-        added = (
+        return (
             pa.Table.from_pylist(entry_rows, schema=manifest.ENTRY_SCHEMA)
             if entry_rows
             else None
+        )
+
+    def append_dataset(
+        self,
+        ds,
+        *,
+        operation: str = "append",
+        use_actor: bool = False,
+        sort_within_file: list[str] | None = None,
+        name_prefix: str = "a",
+        evolve_schema: pa.Schema | None = None,
+        extra: dict | None = None,
+    ) -> int:
+        """Append a Ray Dataset: an actor-pool writer stage routes each
+        batch's rows to partition dirs and writes Parquet files (one writer
+        amortized per actor); only the manifest entries — a few hundred bytes
+        per file — come back to the driver for a single commit. The data
+        itself never materializes on the driver."""
+        added = self.stage_dataset_files(
+            ds, sort_within_file=sort_within_file, name_prefix=name_prefix
         )
         return self.commit(
             added=added,
@@ -437,6 +456,7 @@ class Table:
         job_id: str | None = None,
         evolve_schema: pa.Schema | None = None,
         extra: dict | None = None,
+        new_partition_spec: str | None = None,
     ) -> int:
         """Commit a new snapshot. ``use_actor=True`` routes through the
         table's metastore actor (multi-writer serialization); otherwise the
@@ -461,6 +481,7 @@ class Table:
                         else None
                     ),
                     extra=extra,
+                    new_partition_spec=new_partition_spec,
                 )
             )
         else:
@@ -471,6 +492,7 @@ class Table:
                 expected_parent=expected_parent,
                 evolve_schema=evolve_schema,
                 extra=extra,
+                new_partition_spec=new_partition_spec,
             )
         if job_id is not None:
             lineage.finalize_job(self.dir, job_id, sid)
@@ -485,6 +507,7 @@ class Table:
         expected_parent: int | None = None,
         evolve_schema: pa.Schema | None = None,
         extra: dict | None = None,
+        new_partition_spec: str | None = None,
     ) -> int:
         removed_set = set(removed)
         if added is not None and added.num_rows:
@@ -542,7 +565,11 @@ class Table:
                 parent_id=cur,
                 operation=operation,
                 schema=schema,
-                partition_spec=meta["partition_spec"],
+                partition_spec=(
+                    new_partition_spec
+                    if new_partition_spec is not None
+                    else meta["partition_spec"]
+                ),
                 extra=snap_extra,
             )
             if ok:

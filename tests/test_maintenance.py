@@ -142,3 +142,29 @@ def test_full_maintenance_sequence_equality(tmp_table_dir, ray_session, base_dat
     got = sorted_scan(t)
     exp = synth.apply_merge_expected(base_data, src)
     assert got.equals(exp)  # byte-for-byte per-turn text equality, stable order
+
+
+def test_repartition_table_evolves_spec(tmp_table_dir, ray_session, base_data):
+    from e2e_ocsf_cyber_lakehouse_blueprint_ray.stages import respec
+
+    t = make_table(tmp_table_dir, base_data)
+    assert t.partition_spec() == f"hash:conv_id:{CONF.num_partitions}"
+    sid = respec.repartition_table(t, "hash:conv_id:32")
+    assert sid == t.current_snapshot_id()
+    assert t.partition_spec() == "hash:conv_id:32"
+    assert sorted_scan(t).equals(expected_sorted(base_data))
+    # stats-pruned point lookup works under the new layout
+    conv = base_data["conv_id"][0].as_py()
+    got = t.read_arrow(predicates={"conv_id": (conv, conv)})
+    got = got.filter(pc.equal(got["conv_id"], conv))
+    assert got.num_rows == base_data.filter(pc.equal(base_data["conv_id"], conv)).num_rows
+    # maintenance still works post-evolution: compact + merge on new layout
+    compact_mod.compact(t)
+    src = synth.merge_source(base_data)
+    merge_mod.merge(t, src)
+    assert sorted_scan(t).equals(expected_sorted(synth.apply_merge_expected(base_data, src)))
+    # old snapshot keeps the OLD spec (per-snapshot metadata: time travel)
+    assert t.partition_spec(1) == f"hash:conv_id:{CONF.num_partitions}"
+    # same-spec respec is a no-op
+    cur = t.current_snapshot_id()
+    assert respec.repartition_table(t, "hash:conv_id:32") == cur
