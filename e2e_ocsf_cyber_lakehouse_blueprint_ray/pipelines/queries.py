@@ -943,6 +943,22 @@ def q_incremental_view(sf_dir: str):
         shutil.rmtree(work, ignore_errors=True)
 
 
+def q_maint_respec_scan(sf_dir: str):
+    """Partition evolution: compact under 8 hash partitions, re-layout to
+    32, scan — byte equality with the transcript CTE proves the rewrite
+    moved every row exactly once."""
+    from ..stages import respec as respec_mod
+
+    work = tempfile.mkdtemp(prefix="maint-", dir=cfg.scratch_dir())
+    try:
+        t = derive.build_maintenance_table(sf_dir, os.path.join(work, "tbl"), CONF)
+        compact_mod.compact(t)
+        respec_mod.repartition_table(t, "hash:conv_id:32")
+        return derive.sorted_scan_arrow(t)
+    finally:
+        shutil.rmtree(work, ignore_errors=True)
+
+
 def q_maint_pruned_scan(sf_dir: str):
     """Stats-pruned scan of one conversation (file skipping via manifest)."""
     work = tempfile.mkdtemp(prefix="maint-", dir=cfg.scratch_dir())
@@ -1714,6 +1730,7 @@ def queries() -> dict:
         "q_maint_rollback_scan": q_maint_rollback_scan,
         "q_maint_time_scan": q_maint_time_scan,
         "q_maint_delete_scan": q_maint_delete_scan,
+        "q_maint_respec_scan": q_maint_respec_scan,
         "q_table_changes": q_table_changes,
         "q_incremental_view": q_incremental_view,
         "q_conv_stats": q_conv_stats,
@@ -1948,6 +1965,7 @@ def oracle_sql() -> dict:
         "q_maint_rollback_scan": _T + _TRANSCRIPT_SELECT,
         "q_maint_time_scan": _T + _TRANSCRIPT_SELECT
         + " WHERE ts >= TIMESTAMP '2024-01-08' AND ts <= TIMESTAMP '2024-01-14 23:59:59.999999'",
+        "q_maint_respec_scan": _T + _TRANSCRIPT_SELECT,
         "q_maint_delete_scan": _T + _TRANSCRIPT_SELECT
         + " WHERE ts < TIMESTAMP '2024-01-08' OR ts > TIMESTAMP '2024-01-14 23:59:59.999999'",
         "q_incremental_view": _M + """

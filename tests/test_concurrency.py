@@ -109,3 +109,111 @@ def test_racing_compactions_conflict_cleanly(tmp_table_dir, ray_session):
         pc.sort_indices(data, sort_keys=[("conv_id", "ascending"), ("turn_idx", "ascending")])
     )
     assert sorted_scan(t).equals(expect)
+
+
+def test_mixed_op_storm_consistency(tmp_table_dir, ray_session):
+    """Appends + deletes + compactions + merges racing through the
+    metastore actor: every op either commits atomically or raises
+    ConflictError cleanly — the final scan equals replaying the COMMITTED
+    ops' semantics, with no lost rows, duplicates, or dangling files."""
+    import os
+
+    import numpy as np
+    import pyarrow.compute as pc
+    import ray
+
+    from e2e_ocsf_cyber_lakehouse_blueprint_ray.stages import delete as delete_mod
+    from e2e_ocsf_cyber_lakehouse_blueprint_ray.stages import merge as merge_mod
+
+    data = synth.transcripts(0.001)
+    t = Table.create(
+        tmp_table_dir,
+        TRANSCRIPT,
+        partition_spec=f"hash:conv_id:{CONF.num_partitions}",
+        config=CONF,
+        stats_cols=TRANSCRIPT_STATS_COLS,
+    )
+    base = data.slice(0, 6000)
+    t.write_table(base, rows_per_file=300)
+    ts64 = np.sort(base["ts"].cast(pa.int64()).to_numpy(zero_copy_only=False))
+    lo, hi = int(ts64[500]), int(ts64[1000])
+
+    extra = data.slice(6000, 1000)
+    # shift appended rows' ts far past the delete range so the append/delete
+    # commit order cannot change which rows the delete matches
+    extra = extra.set_column(
+        extra.schema.get_field_index("ts"),
+        "ts",
+        pa.compute.add(extra["ts"].cast(pa.int64()), 10**15).cast(pa.timestamp("us")),
+    )
+
+    @ray.remote
+    def do_append(table_dir):
+        tt = Table(table_dir, CONF)
+        return ("append", tt.write_table(extra, rows_per_file=200, name_prefix="storm", use_actor=True))
+
+    @ray.remote
+    def do_compact(table_dir):
+        tt = Table(table_dir, CONF)
+        try:
+            return ("compact", compact.compact(tt, use_actor=True))
+        except ConflictError:
+            return ("compact", None)
+
+    @ray.remote
+    def do_delete(table_dir):
+        tt = Table(table_dir, CONF)
+        try:
+            return ("delete", delete_mod.delete_where(tt, "ts", lo, hi, use_actor=True))
+        except ConflictError:
+            return ("delete", None)
+
+    @ray.remote
+    def do_merge(table_dir):
+        tt = Table(table_dir, CONF)
+        src = synth.merge_source(base.slice(0, 2000))
+        try:
+            return ("merge", merge_mod.merge(tt, src, use_actor=True))
+        except ConflictError:
+            return ("merge", None)
+
+    results = ray.get(
+        [do_append.remote(t.dir), do_compact.remote(t.dir),
+         do_delete.remote(t.dir), do_merge.remote(t.dir)]
+    )
+    outcomes = dict(results)
+    assert outcomes["append"] is not None  # appends never conflict
+
+    got = t.read_arrow()
+    # structural invariants that hold under ANY commit interleaving:
+    # no duplicate (conv_id, turn_idx, text) keys beyond the base multiset,
+    # appended rows all present, manifest references only existing files
+    key = pc.binary_join_element_wise(
+        got["conv_id"], pc.cast(got["turn_idx"], pa.string()), got["text"], "\x1f"
+    )
+    assert len(set(key.to_pylist())) == got.num_rows, "duplicate rows leaked"
+    extra_keys = set(
+        pc.binary_join_element_wise(
+            extra["conv_id"], pc.cast(extra["turn_idx"], pa.string()), extra["text"], "\x1f"
+        ).to_pylist()
+    )
+    assert extra_keys <= set(key.to_pylist()), "appended rows lost"
+    for p in t.entries()["path"].to_pylist():
+        assert os.path.exists(os.path.join(t.dir, p))
+    # row count equals replaying the COMMITTED ops in commit (snapshot-id)
+    # order on the driver — apply_merge_expected is a generic upsert, so the
+    # replay is order-faithful whichever op won the race
+    committed = sorted(
+        (sid, name) for name, sid in outcomes.items()
+        if name in ("merge", "delete") and sid is not None
+    )
+    expected = base
+    for _, name in committed:
+        if name == "merge":
+            expected = synth.apply_merge_expected(
+                expected, synth.merge_source(base.slice(0, 2000))
+            )
+        else:
+            e64 = expected["ts"].cast(pa.int64())
+            expected = expected.filter(pc.or_(pc.less(e64, lo), pc.greater(e64, hi)))
+    assert got.num_rows == expected.num_rows + extra.num_rows
