@@ -713,6 +713,17 @@ def q_frequent_tokens(sf_dir: str):
     return sketch_mod.frequent_tokens(ds, phi=0.003)
 
 
+def q_global_quantiles(sf_dir: str):
+    """Exact global quantiles of lineitem extended price (6M rows at sf1):
+    radix-refined distributed selection — histogram passes over sortable
+    float keys, candidate collection only at the end; bit-identical to
+    DuckDB quantile_disc."""
+    ds = _read(sf_dir, "lineitem", ["l_extendedprice"])
+    return sketch_mod.global_quantile_disc(
+        ds, "l_extendedprice", [0.01, 0.25, 0.5, 0.75, 0.99], max_candidates=4096
+    )
+
+
 def q_distinct_docs_hll(sf_dir: str):
     """HyperLogLog distinct-count of document texts: mergeable 2^14-byte
     per-batch partials, O(blocks) bytes to the final combine — the
@@ -1716,6 +1727,7 @@ def queries() -> dict:
         "q_expectations": q_expectations,
         "q_distinct_docs_hll": q_distinct_docs_hll,
         "q_frequent_tokens": q_frequent_tokens,
+        "q_global_quantiles": q_global_quantiles,
         "q_part_type_stats": q_part_type_stats,
         "q_supplier_nation": q_supplier_nation,
         "q_medallion_gold": q_medallion_gold,
@@ -2044,6 +2056,11 @@ def oracle_sql() -> dict:
         """,
         "q_curation_pipeline": _curation_sql(),
         "q_mixture_sample": _mixture_sql(),
+        "q_global_quantiles": """
+            SELECT UNNEST([0.01, 0.25, 0.5, 0.75, 0.99]) AS q,
+                   UNNEST(quantile_disc(l_extendedprice, [0.01, 0.25, 0.5, 0.75, 0.99])) AS value
+            FROM lineitem
+        """,
         "q_frequent_tokens": """
             WITH toks AS (SELECT unnest(regexp_split_to_array(trim(text), '\\s+')) AS token
                           FROM documents),

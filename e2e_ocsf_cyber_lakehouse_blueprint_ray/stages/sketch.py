@@ -226,3 +226,157 @@ def frequent_tokens(ds, *, text_col: str = "text", phi: float = 0.003, m: int | 
         out, sort_keys=[("n_total", "descending"), ("token", "ascending")]
     )
     return out.take(idx)
+
+
+# -- exact global quantiles (distributed selection) -------------------------
+
+
+def _sortable_f64(vals: np.ndarray) -> np.ndarray:
+    """float64 → uint64 keys whose unsigned order equals float order
+    (sign bit flipped for positives, all bits for negatives; no NaNs)."""
+    bu = np.ascontiguousarray(vals, dtype=np.float64).view(np.uint64)
+    sign = bu >> np.uint64(63)
+    flip = np.where(sign == 1, np.uint64(0xFFFFFFFFFFFFFFFF), np.uint64(0x8000000000000000))
+    return bu ^ flip
+
+
+def global_quantile_disc(
+    ds,
+    col: str,
+    qs: list[float],
+    *,
+    max_candidates: int = 1_000_000,
+):
+    """EXACT discrete quantiles of one numeric column at any scale — the
+    global counterpart of ``group_quantiles_disc`` (which needs each group
+    in one worker). DuckDB ``quantile_disc`` semantics: the STORED value at
+    rank ceil(q·n) of the sorted order, so results hash engine-identically.
+
+    Distributed selection by radix refinement: floats map to order-
+    preserving uint64 keys, and each pass histograms the next 16 key bits
+    INSIDE every quantile's candidate prefix — a per-batch combiner emits
+    at most (quantiles × 65536) count rows, the driver folds O(blocks)
+    partials and narrows each rank to one bucket. After ≤ 3 refine passes
+    (or as soon as a candidate range holds ≤ ``max_candidates`` rows) a
+    final pass collects just the candidate values and picks the rank
+    exactly. Every pass is one streaming scan; nothing shuffles.
+
+    Returns a pa.Table (q, value) ordered by q. Nulls are ignored
+    (SQL aggregate semantics); NaNs are unsupported.
+    """
+    qs = sorted(qs)
+
+    def keys_of(b: pa.Table) -> np.ndarray:
+        c = b[col]
+        if c.null_count:
+            c = c.drop_null()
+        vals = c.to_numpy(zero_copy_only=False).astype(np.float64)
+        return _sortable_f64(vals)
+
+    # pass 0: total count + top-16-bit histogram in one sweep
+    def hist_top(b: pa.Table) -> pa.Table:
+        k = keys_of(b)
+        if len(k) == 0:
+            return pa.table({"bucket": pa.array([], pa.int64()), "n": pa.array([], pa.int64())})
+        counts = np.bincount((k >> np.uint64(48)).astype(np.int64), minlength=0)
+        nz = np.flatnonzero(counts)
+        return pa.table({"bucket": pa.array(nz, pa.int64()), "n": pa.array(counts[nz], pa.int64())})
+
+    def fold(ds_part) -> dict[int, int]:
+        acc: dict[int, int] = {}
+        for b in ds_part.iter_batches(batch_size=None, batch_format="pyarrow"):
+            for bk, n in zip(b["bucket"].to_pylist(), b["n"].to_pylist()):
+                acc[bk] = acc.get(bk, 0) + n
+        return acc
+
+    acc = fold(ds.map_batches(hist_top, batch_format="pyarrow"))
+    total = sum(acc.values())
+    if total == 0:
+        return pa.table({"q": pa.array(qs, pa.float64()), "value": pa.nulls(len(qs), pa.float64())})
+    # 1-based target rank per q (ceil(q·n), clamped to [1, n])
+    ranks = [min(max(1, int(np.ceil(q * total))), total) for q in qs]
+
+    # per-q state: (prefix, prefix_bits, rank_remaining_within_prefix, count_in_prefix)
+    state = []
+    for r in ranks:
+        cum = 0
+        for bk in sorted(acc):
+            if cum + acc[bk] >= r:
+                state.append([bk, 16, r - cum, acc[bk]])
+                break
+            cum += acc[bk]
+
+    shift = 32
+    while shift >= 0 and any(st[3] > max_candidates for st in state):
+        prefixes = {(st[0], st[1]) for st in state}
+        pref_list = sorted(prefixes)
+        sh = np.uint64(shift)
+
+        def hist_ref(b: pa.Table, _pl=tuple(pref_list), _sh=int(shift)) -> pa.Table:
+            k = keys_of(b)
+            out_p, out_b, out_n = [], [], []
+            for pi, (pref, pbits) in enumerate(_pl):
+                top = k >> np.uint64(64 - pbits)
+                m = top == np.uint64(pref)
+                if not m.any():
+                    continue
+                sub = (k[m] >> np.uint64(_sh)) & np.uint64(0xFFFF)
+                counts = np.bincount(sub.astype(np.int64))
+                nz = np.flatnonzero(counts)
+                out_p.extend([pi] * len(nz))
+                out_b.extend(nz.tolist())
+                out_n.extend(counts[nz].tolist())
+            return pa.table({"p": pa.array(out_p, pa.int64()), "bucket": pa.array(out_b, pa.int64()), "n": pa.array(out_n, pa.int64())})
+
+        acc2: dict[tuple[int, int], int] = {}
+        for b in ds.map_batches(hist_ref, batch_format="pyarrow").iter_batches(
+            batch_size=None, batch_format="pyarrow"
+        ):
+            for p, bk, n in zip(b["p"].to_pylist(), b["bucket"].to_pylist(), b["n"].to_pylist()):
+                acc2[(p, bk)] = acc2.get((p, bk), 0) + n
+        for st in state:
+            if st[3] <= max_candidates:
+                continue
+            pi = pref_list.index((st[0], st[1]))
+            cum = 0
+            for bk in sorted(k2 for (p2, k2) in acc2 if p2 == pi):
+                n = acc2[(pi, bk)]
+                if cum + n >= st[2]:
+                    st[0] = (st[0] << 16) | bk
+                    st[1] += 16
+                    st[2] -= cum
+                    st[3] = n
+                    break
+                cum += n
+        shift -= 16
+
+    # final pass: collect candidate values per q and pick the rank exactly
+    pref_list = sorted({(st[0], st[1]) for st in state})
+
+    def collect(b: pa.Table, _pl=tuple(pref_list)) -> pa.Table:
+        k = keys_of(b)
+        out_p, out_k = [], []
+        for pi, (pref, pbits) in enumerate(_pl):
+            top = k >> np.uint64(64 - pbits)
+            m = top == np.uint64(pref)
+            if m.any():
+                sub = k[m]
+                out_p.extend([pi] * len(sub))
+                out_k.extend(sub.tolist())
+        return pa.table({"p": pa.array(out_p, pa.int64()), "k": pa.array(np.array(out_k, dtype=np.uint64).astype(np.int64))})
+
+    buckets: dict[int, list] = {}
+    for b in ds.map_batches(collect, batch_format="pyarrow").iter_batches(
+        batch_size=None, batch_format="pyarrow"
+    ):
+        for p, kk in zip(b["p"].to_pylist(), b["k"].to_numpy(zero_copy_only=False)):
+            buckets.setdefault(p, []).append(kk)
+    values = []
+    for st in state:
+        pi = pref_list.index((st[0], st[1]))
+        ks = np.sort(np.asarray(buckets[pi], dtype=np.int64).astype(np.uint64))
+        key = ks[st[2] - 1]
+        sign = key >> np.uint64(63)
+        flip = np.uint64(0x8000000000000000) if sign == 1 else np.uint64(0xFFFFFFFFFFFFFFFF)
+        values.append(float(np.uint64(key ^ flip).view(np.float64)))
+    return pa.table({"q": pa.array(qs, pa.float64()), "value": pa.array(values, pa.float64())})

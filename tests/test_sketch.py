@@ -107,3 +107,29 @@ def test_mg_compress_guarantee():
     orig = dict(zip(keys.tolist(), counts.tolist()))
     pivot = {orig[k] - c for k, c in zip(k2.tolist(), c2.tolist())}
     assert len(pivot) == 1 and pivot.pop() <= counts.sum() // (m + 1)
+
+
+def test_global_quantile_disc_matches_duckdb(ray_session):
+    import duckdb
+    import numpy as np
+    import ray.data as rd
+
+    from e2e_ocsf_cyber_lakehouse_blueprint_ray.stages import sketch
+
+    rng = np.random.default_rng(7)
+    cases = [
+        np.r_[rng.normal(10, 5, 20000), rng.uniform(-100, -50, 3000), np.full(500, 3.25)],
+        np.full(5000, 42.0),                       # constant column
+        np.r_[np.full(4000, -1.5), np.full(4000, 2.5)],  # two values
+        rng.uniform(0, 1e-9, 9000),                # tiny magnitudes, one bucket
+    ]
+    qs = [0.01, 0.25, 0.5, 0.75, 0.99]
+    for vals in cases:
+        t = pa.table({"v": pa.array(vals, pa.float64())})
+        ds = rd.from_arrow(t).repartition(6)
+        # tiny max_candidates forces the multi-pass radix refinement
+        got = sketch.global_quantile_disc(ds, "v", qs, max_candidates=64)
+        con = duckdb.connect()
+        con.register("t", t)
+        exp = con.execute(f"SELECT quantile_disc(v, {qs}) FROM t").fetchone()[0]
+        assert got["value"].to_pylist() == exp  # bit-exact stored values
