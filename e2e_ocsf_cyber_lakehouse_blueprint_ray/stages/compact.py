@@ -25,10 +25,13 @@ def plan_compaction(
     *,
     recluster: bool = False,
     snapshot_id: int | None = None,
+    partitions: list[str] | None = None,
 ) -> list[dict]:
     """Bin descriptors from manifest entries. ``recluster=True`` packs ALL
     files (used by per-partition clustering); otherwise only small files, and
-    single-file bins are skipped (nothing to gain)."""
+    single-file bins are skipped (nothing to gain). ``partitions`` scopes
+    the plan to named partitions (the OPTIMIZE WHERE analog: maintain a hot
+    slice without touching the rest of a 10^12-row table)."""
     cfg = table.config
     ents = table.entries(snapshot_id)
     by_path = {
@@ -36,6 +39,8 @@ def plan_compaction(
     }
     by_part: dict[str, list[dict]] = {}
     for r in by_path.values():
+        if partitions is not None and r["partition"] not in partitions:
+            continue
         by_part.setdefault(r["partition"], []).append(r)
 
     threshold = cfg.small_file_fraction * cfg.target_file_bytes
@@ -65,6 +70,7 @@ def compact(
     concurrency: int | None = None,
     use_actor: bool = False,
     fail_after: int | None = None,
+    partitions: list[str] | None = None,
 ) -> int | None:
     """Run compaction; returns the new snapshot id (None if nothing to do).
 
@@ -75,13 +81,15 @@ def compact(
     from .. import schema as schema_mod
 
     parent = table.current_snapshot_id()
-    bins = plan_compaction(table)
+    bins = plan_compaction(table, partitions=partitions)
     if not bins:
         return None
     if sort_key is None:
         sch = table.schema(parent)
         sort_key = schema_mod.sort_key(sch) if sch is not None else []
-    job_id = lineage.job_id_for("compact", parent)
+    job_id = lineage.job_id_for(
+        "compact", parent, ",".join(sorted(partitions)) if partitions else ""
+    )
     added = rewrite.run_bins(
         table,
         bins,

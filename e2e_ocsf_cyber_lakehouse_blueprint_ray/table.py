@@ -138,14 +138,19 @@ class Table:
         for sid in manifest.list_snapshot_ids(self.dir):
             sch = pq.read_schema(manifest.snap_path(self.dir, sid))
             raw = sch.metadata or {}
-            out.append(
-                {
-                    "snapshot_id": sid,
-                    "parent_id": int(raw.get(b"engine.parent_id", b"-1").decode()),
-                    "operation": raw.get(b"engine.operation", b"").decode(),
-                    "created_at": float(raw.get(b"engine.created_at", b"0").decode()),
-                }
-            )
+            rec = {
+                "snapshot_id": sid,
+                "parent_id": int(raw.get(b"engine.parent_id", b"-1").decode()),
+                "operation": raw.get(b"engine.operation", b"").decode(),
+                "created_at": float(raw.get(b"engine.created_at", b"0").decode()),
+            }
+            m = raw.get(b"engine.x.metrics")
+            if m:
+                try:
+                    rec["metrics"] = json.loads(m.decode())
+                except ValueError:
+                    pass
+            out.append(rec)
         return out
 
     def snapshot_id_as_of(self, ts: float) -> int:
@@ -556,6 +561,19 @@ class Table:
                 # table schema with the writer's schema at commit time.
                 schema = pa.unify_schemas([schema, evolve_schema]) if schema else evolve_schema
             snap_extra = {"stats_cols": meta.get("engine.x.stats_cols", "[]")}
+            # operation metrics ride in every snapshot (DESCRIBE HISTORY
+            # numFiles/numRows parity), computed from what this commit moves
+            n_added = int(added.num_rows) if added is not None else 0
+            r_added = (
+                int(pc.sum(added["rows"]).as_py() or 0) if added is not None and added.num_rows else 0
+            )
+            snap_extra["metrics"] = json.dumps(
+                {
+                    "added_files": n_added,
+                    "added_rows": r_added,
+                    "removed_files": len(removed_set),
+                }
+            )
             if extra:
                 snap_extra.update(extra)
             ok = manifest.try_write_snapshot(

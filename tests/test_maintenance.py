@@ -2,6 +2,7 @@
 (FIXTURES.md §4: scan equality, multiset preservation, stats correctness,
 idempotent resume, snapshot isolation, skew safety)."""
 
+import numpy as np
 import pyarrow as pa
 import pyarrow.compute as pc
 import pytest
@@ -168,3 +169,32 @@ def test_repartition_table_evolves_spec(tmp_table_dir, ray_session, base_data):
     # same-spec respec is a no-op
     cur = t.current_snapshot_id()
     assert respec.repartition_table(t, "hash:conv_id:32") == cur
+
+
+def test_compact_partition_scope_and_history_metrics(tmp_table_dir, ray_session, base_data):
+    t = make_table(tmp_table_dir, base_data)
+    parts = sorted(set(t.entries()["partition"].to_pylist()))
+    target = parts[:2]
+    before = {
+        p: n for p, n in zip(*np.unique(t.entries()["partition"].to_pylist(), return_counts=True))
+    }
+    sid = compact_mod.compact(t, partitions=target)
+    assert sid is not None
+    after = {
+        p: n for p, n in zip(*np.unique(t.entries()["partition"].to_pylist(), return_counts=True))
+    }
+    for p in parts:
+        if p in target:
+            assert after[p] < before[p], f"{p} should have compacted"
+        else:
+            assert after[p] == before[p], f"{p} must be untouched"
+    assert sorted_scan(t).equals(expected_sorted(base_data))
+    # commit metrics surface in history (DESCRIBE HISTORY numFiles parity)
+    h = t.history()[-1]
+    assert h["operation"] == "compact"
+    m = h["metrics"]
+    assert m["removed_files"] == sum(before[p] for p in target)
+    assert m["added_files"] == sum(after[p] for p in target)
+    assert m["added_rows"] == sum(
+        r["rows"] for r in t.entries().to_pylist() if r["partition"] in target
+    )
