@@ -39,6 +39,7 @@ def delete_where(
     *,
     concurrency: int | None = None,
     use_actor: bool = False,
+    fail_after: int | None = None,
 ) -> int:
     """Delete all rows with ``lo <= col <= hi``; returns the new snapshot id.
 
@@ -96,6 +97,7 @@ def delete_where(
         sort_mode="key",
         sort_key=["conv_id", "turn_idx"],
         delete_range=(col, lo, hi),
+        fail_after=fail_after,
     )
     return table.commit(
         added=added if added.num_rows else None,

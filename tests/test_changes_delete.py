@@ -234,3 +234,26 @@ def test_changes_distributed_fallback_paths(tmp_table_dir, ray_session, monkeypa
     b, a = _row_keys(before), _row_keys(after)
     assert _row_keys(added) == a - b and added.num_rows == len(a - b)
     assert _row_keys(removed) == b - a and removed.num_rows == len(b - a)
+
+
+def test_delete_resume_after_crash(tmp_table_dir, ray_session):
+    """DELETE shares the bin machinery's lineage resume: a crash mid-job
+    leaves no commit; the re-run replans the same job, skips completed
+    units, and produces the exact filtered table."""
+    import pytest
+
+    data = synth.transcripts(0.001)
+    t = make_table(tmp_table_dir, data, rows_per_file=150)
+    lo, hi = _ts_range(data, 0.2, 0.8)
+    with pytest.raises(Exception):
+        delete_mod.delete_where(t, "ts", lo, hi, fail_after=1, concurrency=1)
+    assert t.current_snapshot_id() == 1  # nothing committed
+    delete_mod.delete_where(t, "ts", lo, hi)
+    ts64 = data["ts"].cast(pa.int64())
+    expected = data.filter(pc.or_(pc.less(ts64, lo), pc.greater(ts64, hi)))
+    expected = expected.take(
+        pc.sort_indices(
+            expected, sort_keys=[("conv_id", "ascending"), ("turn_idx", "ascending")]
+        )
+    )
+    assert sorted_scan(t).equals(expected)
