@@ -185,3 +185,19 @@ def curve_key(
     if curve == "hilbert":
         return hilbert_xy2d(bits, a, b)
     raise ValueError(f"unknown curve {curve!r}")
+
+
+def morton_nd(coords: list[np.ndarray], bits: int) -> np.ndarray:
+    """N-dimensional Morton (Z-order) interleave: ``bits`` bits per
+    dimension, dimension d contributing bit position b·ndim + d. Inputs are
+    uint64 coordinate arrays already scaled to [0, 2^bits); output fits
+    uint64 for bits·ndim ≤ 64. Vectorized: bits × ndim shift-or passes."""
+    nd = len(coords)
+    if bits * nd > 64:
+        raise ValueError(f"{bits} bits × {nd} dims exceeds 64-bit key")
+    out = np.zeros_like(coords[0], dtype=np.uint64)
+    one = np.uint64(1)
+    for b in range(bits):
+        for d, c in enumerate(coords):
+            out |= ((c >> np.uint64(b)) & one) << np.uint64(b * nd + d)
+    return out

@@ -954,6 +954,18 @@ def q_incremental_view(sf_dir: str):
         shutil.rmtree(work, ignore_errors=True)
 
 
+def q_maint_cluster_multi_scan(sf_dir: str):
+    """Generalized CLUSTER BY (conv_id, turn_idx, ts): 3-D Morton key over
+    hash/normalized coordinates, one range-shuffle sort, scan equality."""
+    work = tempfile.mkdtemp(prefix="maint-", dir=cfg.scratch_dir())
+    try:
+        t = derive.build_maintenance_table(sf_dir, os.path.join(work, "tbl"), CONF)
+        cluster_mod.cluster_by_columns(t, ["conv_id", "turn_idx", "ts"])
+        return derive.sorted_scan_arrow(t)
+    finally:
+        shutil.rmtree(work, ignore_errors=True)
+
+
 def q_maint_respec_scan(sf_dir: str):
     """Partition evolution: compact under 8 hash partitions, re-layout to
     32, scan — byte equality with the transcript CTE proves the rewrite
@@ -1743,6 +1755,7 @@ def queries() -> dict:
         "q_maint_time_scan": q_maint_time_scan,
         "q_maint_delete_scan": q_maint_delete_scan,
         "q_maint_respec_scan": q_maint_respec_scan,
+        "q_maint_cluster_multi_scan": q_maint_cluster_multi_scan,
         "q_table_changes": q_table_changes,
         "q_incremental_view": q_incremental_view,
         "q_conv_stats": q_conv_stats,
@@ -1978,6 +1991,7 @@ def oracle_sql() -> dict:
         "q_maint_time_scan": _T + _TRANSCRIPT_SELECT
         + " WHERE ts >= TIMESTAMP '2024-01-08' AND ts <= TIMESTAMP '2024-01-14 23:59:59.999999'",
         "q_maint_respec_scan": _T + _TRANSCRIPT_SELECT,
+        "q_maint_cluster_multi_scan": _T + _TRANSCRIPT_SELECT,
         "q_maint_delete_scan": _T + _TRANSCRIPT_SELECT
         + " WHERE ts < TIMESTAMP '2024-01-08' OR ts > TIMESTAMP '2024-01-14 23:59:59.999999'",
         "q_incremental_view": _M + """

@@ -98,7 +98,7 @@ def _write_sorted_batch(
     for i, b in enumerate(bounds):
         e = bounds[i + 1] if i + 1 < len(bounds) else len(parts)
         chunk = data.slice(b, e - b)
-        pdir = f"part-{int(parts[b])}"
+        pdir = "" if parts[b] < 0 else f"part-{int(parts[b])}"  # -1: spec "none"
         for off in range(0, chunk.num_rows, rows_per_file):
             sl = chunk.slice(off, rows_per_file)
             name = f"z-{wid}-{seq:06d}.parquet"
@@ -232,4 +232,109 @@ def cluster(
         expected_parent=parent,
         use_actor=use_actor,
         job_id=job_id,
+    )
+
+
+def col_range_from_entries(ents: pa.Table, col: str) -> tuple[int, int] | None:
+    """Global (min, max) of a NUMERIC stats column from the manifest."""
+    import json
+
+    lo, hi = None, None
+    for s in ents["stats"].to_pylist():
+        st = json.loads(s) if s else {}
+        cs = st.get(col) or {}
+        if isinstance(cs.get("min"), (int, float)):
+            lo = cs["min"] if lo is None else min(lo, cs["min"])
+        if isinstance(cs.get("max"), (int, float)):
+            hi = cs["max"] if hi is None else max(hi, cs["max"])
+    return (int(lo), int(hi)) if lo is not None and hi is not None else None
+
+
+def cluster_by_columns(
+    table: Table,
+    cols: list[str],
+    *,
+    concurrency: int | None = None,
+    use_actor: bool = False,
+) -> int | None:
+    """Generalized liquid clustering: Z-order on ANY column set (the
+    ``ALTER TABLE ... CLUSTER BY (c1, c2, ...)`` analog beyond the built-in
+    (conv_id, ts) pair). Per column coordinate: numeric/timestamp columns
+    min-max normalize onto 2^bits using manifest stats (free), string
+    columns use hash64 high bits; coordinates interleave via
+    ``hashing.morton_nd`` with 64 // ndim bits each. Execution is the same
+    global pipeline as ``cluster(mode="global")``: one range-shuffle sort
+    on (_part, _zkey), target-size file writer, single commit."""
+    from ..hashing import morton_nd
+
+    cfg = table.config
+    parent = table.current_snapshot_id()
+    ents = table.entries(parent)
+    if ents.num_rows == 0 or not cols:
+        return None
+    removed = ents["path"].to_pylist()
+    sch = table.schema(parent)
+    for c in cols:
+        if c not in sch.names:
+            raise ValueError(f"unknown cluster column {c!r}")
+    # 63, not 64: the sort key rides as int64 and must stay non-negative
+    bits = 63 // len(cols)
+    ranges = {
+        c: col_range_from_entries(ents, c)
+        for c in cols
+        if not pa.types.is_string(sch.field(c).type)
+    }
+    spec = table.partition_spec(parent)
+    num_partitions = int(spec.rsplit(":", 1)[1]) if spec.startswith("hash:") else 0
+    part_key = spec.split(":")[1] if spec.startswith("hash:") else None
+
+    def add_key(batch: pa.Table) -> pa.Table:
+        mask = (np.uint64(1) << np.uint64(bits)) - np.uint64(1)
+        coords = []
+        for c in cols:
+            col = batch[c]
+            if pa.types.is_string(col.type):
+                coords.append((hash64_column(col) >> np.uint64(64 - bits)) & mask)
+                continue
+            v = col.cast(pa.int64()).to_numpy(zero_copy_only=False).astype(np.float64)
+            rng = ranges.get(c)
+            if rng and rng[1] > rng[0]:
+                scaled = (v - rng[0]) * (float(int(mask)) / float(rng[1] - rng[0]))
+                coords.append(np.clip(scaled, 0, float(int(mask))).astype(np.uint64))
+            else:
+                coords.append(np.zeros(batch.num_rows, np.uint64))
+        zk = morton_nd(coords, bits)
+        if num_partitions:
+            part = (hash64_column(batch[part_key]) % np.uint64(num_partitions)).astype(np.int32)
+        else:
+            part = np.full(batch.num_rows, -1, np.int32)  # spec "none": root dir
+        return batch.append_column("_part", pa.array(part)).append_column(
+            "_zkey", pa.array(zk.astype(np.int64))
+        )
+
+    total_rows = int(pc.sum(ents["rows"]).as_py() or 0)
+    total_bytes = int(pc.sum(ents["bytes"]).as_py() or 0)
+    bpr = total_bytes / max(1, total_rows)
+    conc = max(1, concurrency or cfg.rewrite_concurrency)
+    est_inmem = total_bytes * 3
+    n_blocks = max(conc, min(4096, -(-est_inmem // cfg.target_file_bytes)))
+    ds = table.scan(snapshot_id=parent, override_num_blocks=n_blocks)
+    ds = ds.map_batches(add_key, batch_format="pyarrow", batch_size=None)
+    ds = ds.sort(["_part", "_zkey"])
+    writer_rows = max(1, min(cfg.max_rows_per_file, int(cfg.target_file_bytes / max(1.0, bpr))))
+    ent_ds = ds.map_batches(
+        _write_sorted_batch,
+        fn_kwargs=dict(table_dir=table.dir, config=cfg, bytes_per_row=bpr),
+        batch_format="pyarrow",
+        batch_size=writer_rows,
+        concurrency=conc,
+    )
+    rows = ent_ds.take_all()
+    added = pa.Table.from_pylist(rows, schema=ENTRY_SCHEMA) if rows else ENTRY_SCHEMA.empty_table()
+    return table.commit(
+        added=added,
+        removed=removed,
+        operation=f"cluster-by-{'-'.join(cols)}",
+        expected_parent=parent,
+        use_actor=use_actor,
     )

@@ -53,3 +53,30 @@ def test_curve_key_both_curves():
     for c in ("zorder", "hilbert"):
         k = hx.curve_key(h, ts, bucket_s=3600, curve=c)
         assert k.dtype == np.uint64 and len(k) == 2
+
+
+def test_morton_nd_matches_scalar_reference():
+    import numpy as np
+    import pytest
+
+    from e2e_ocsf_cyber_lakehouse_blueprint_ray import hashing
+
+    rng = np.random.default_rng(5)
+    for nd in (2, 3, 4):
+        bits = 63 // nd
+        coords = [
+            rng.integers(0, 1 << bits, 200).astype(np.uint64) for _ in range(nd)
+        ]
+        got = hashing.morton_nd(coords, bits)
+
+        def scalar(vals):
+            out = 0
+            for b in range(bits):
+                for d, v in enumerate(vals):
+                    out |= ((int(v) >> b) & 1) << (b * nd + d)
+            return out
+
+        exp = [scalar([c[i] for c in coords]) for i in range(200)]
+        assert got.tolist() == exp
+    with pytest.raises(ValueError):
+        hashing.morton_nd([np.zeros(1, np.uint64)] * 5, 16)

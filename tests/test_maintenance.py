@@ -198,3 +198,36 @@ def test_compact_partition_scope_and_history_metrics(tmp_table_dir, ray_session,
     assert m["added_rows"] == sum(
         r["rows"] for r in t.entries().to_pylist() if r["partition"] in target
     )
+
+
+def test_cluster_by_columns_multi_dim(tmp_table_dir, ray_session, base_data):
+    """Generalized CLUSTER BY (conv_id, turn_idx, ts): scan equality plus
+    per-file stats tight enough that a turn_idx range prunes files — the
+    extra dimension's locality is real, not just a reshuffle. Small target
+    files so each covers a short z-range (≈2 leading bits per dimension)."""
+    import dataclasses
+
+    from e2e_ocsf_cyber_lakehouse_blueprint_ray.table import Table
+    from e2e_ocsf_cyber_lakehouse_blueprint_ray.schema import TRANSCRIPT, TRANSCRIPT_STATS_COLS
+
+    conf = dataclasses.replace(CONF, target_file_bytes=32 * 1024)
+    t = Table.create(
+        tmp_table_dir,
+        TRANSCRIPT,
+        partition_spec=f"hash:conv_id:{CONF.num_partitions}",
+        config=conf,
+        stats_cols=TRANSCRIPT_STATS_COLS,
+    )
+    t.write_table(base_data, rows_per_file=300)
+    sid = cluster_mod.cluster_by_columns(t, ["conv_id", "turn_idx", "ts"])
+    assert sid == t.current_snapshot_id()
+    assert sorted_scan(t).equals(expected_sorted(base_data))
+    ents = t.entries()
+    assert ents.num_rows >= 2
+    # the turn_idx dimension should let a low-turn slice skip SOME files
+    pruned = t.pruned_entries(predicates={"turn_idx": (0, 1)})
+    assert pruned.num_rows < ents.num_rows
+    got = t.read_arrow(predicates={"turn_idx": (0, 1)})
+    got = got.filter(pc.less_equal(got["turn_idx"], 1))
+    expected = base_data.filter(pc.less_equal(base_data["turn_idx"], 1))
+    assert got.num_rows == expected.num_rows
