@@ -388,3 +388,86 @@ def lag(
         .drop_columns(["_edge"])
     )
     return done.union(rd.from_arrow(fixed))
+
+
+def lead(
+    ds,
+    *,
+    key: str,
+    order_cols: list[str],
+    value_col: str,
+    offset: int = 1,
+    out_col: str = "lead",
+):
+    """Per-key LEAD(value, offset): the value ``offset`` rows AHEAD in the
+    key's order, null at the run tail. Mirror of :func:`lag` — incomplete
+    rows are now a block's LAST run's trailing ``offset`` rows (their
+    source row may live in the next block), and the context shipped for
+    the fix-up is each block's FIRST run's leading ``offset`` rows."""
+    import ray.data as rd
+
+    d = int(offset)
+    if d < 1:
+        raise ValueError("offset must be >= 1")
+
+    def per_block(b: pa.Table) -> pa.Table:
+        n = b.num_rows
+        if n == 0:
+            return b.append_column(out_col, b[value_col]).append_column(
+                "_edge", pa.array([], pa.int8())
+            )
+        k = b[key].to_numpy(zero_copy_only=False)
+        starts = np.flatnonzero(np.r_[True, k[1:] != k[:-1]])
+        ends = np.r_[starts[1:], n]
+        run_end = np.repeat(ends, ends - starts)
+        j = np.arange(n)
+        src = j + d
+        valid = src < run_end
+        leadv = b[value_col].take(pa.array(np.where(valid, src, 0)))
+        leadv = pc.if_else(pa.array(valid), leadv, pa.nulls(n, b[value_col].type))
+        # heads (incomplete): last run's trailing d rows — their true source
+        # may continue in the NEXT block
+        last_start = starts[-1]
+        head = (np.repeat(starts, ends - starts) == last_start) & (j >= n - d)
+        # context: first run's leading d rows feed the PREVIOUS block's heads
+        ctx = (np.repeat(starts, ends - starts) == 0) & (j < d)
+        edge = np.where(head, 1, 0) + np.where(ctx, 2, 0)
+        return b.append_column(out_col, leadv).append_column(
+            "_edge", pa.array(edge.astype(np.int8))
+        )
+
+    marked = (
+        ds.sort([key] + order_cols)
+        .map_batches(per_block, batch_format="pyarrow", batch_size=None)
+        .materialize()
+    )
+    done = marked.map_batches(
+        lambda b: b.filter(pc.equal(pc.bit_wise_and(b["_edge"], 1), 0)).drop_columns(
+            ["_edge"]
+        ),
+        batch_format="pyarrow",
+    )
+    edge_parts = [
+        b.filter(pc.greater(b["_edge"], 0))
+        for b in marked.iter_batches(batch_size=None, batch_format="pyarrow")
+    ]
+    edge_parts = [b for b in edge_parts if b.num_rows]
+    if not edge_parts:
+        return done
+    et = pa.concat_tables(edge_parts, promote_options="default").combine_chunks()
+    et = et.sort_by([(key, "ascending")] + [(c, "ascending") for c in order_cols])
+    k = et[key].to_numpy(zero_copy_only=False)
+    flags = et["_edge"].to_numpy(zero_copy_only=False)
+    starts = np.flatnonzero(np.r_[True, k[1:] != k[:-1]])
+    run_end = np.repeat(np.r_[starts[1:], len(k)], np.r_[starts[1:], len(k)] - starts)
+    j = np.arange(len(k))
+    src = j + d
+    valid = src < run_end
+    leadv = et[value_col].take(pa.array(np.where(valid, src, 0)))
+    leadv = pc.if_else(pa.array(valid), leadv, pa.nulls(len(k), et[value_col].type))
+    fixed = (
+        et.set_column(et.schema.get_field_index(out_col), out_col, leadv)
+        .filter(pa.array((flags == 1) | (flags == 3)))
+        .drop_columns(["_edge"])
+    )
+    return done.union(rd.from_arrow(fixed))

@@ -257,3 +257,40 @@ def test_lag_matches_duckdb(ray_session):
                 FROM t ORDER BY user_id, seq"""
         ).arrow()
         assert got["lag"].to_pylist() == exp["lag"].to_pylist(), f"d={d}"
+
+
+def test_lead_matches_duckdb(ray_session):
+    import duckdb
+    import numpy as np
+    import ray.data as rd
+
+    from e2e_ocsf_cyber_lakehouse_blueprint_ray.stages import order as order_mod
+
+    rng = np.random.default_rng(44)
+    uid = np.r_[rng.integers(0, 18, 500), np.full(250, 9)]
+    seq = np.arange(len(uid))
+    rng.shuffle(seq)
+    t = pa.table(
+        {
+            "user_id": pa.array(uid[seq], pa.int64()),
+            "seq": pa.array(seq, pa.int64()),
+            "val": pa.array(rng.integers(0, 999, len(uid))[seq], pa.int64()),
+        }
+    )
+    for d in (1, 3):
+        got_ds = order_mod.lead(
+            rd.from_arrow(t).repartition(8),
+            key="user_id", order_cols=["seq"], value_col="val", offset=d,
+        )
+        got = pa.concat_tables(
+            got_ds.iter_batches(batch_size=None, batch_format="pyarrow"),
+            promote_options="default",
+        ).sort_by([("user_id", "ascending"), ("seq", "ascending")])
+        con = duckdb.connect()
+        con.register("t", t)
+        exp = con.execute(
+            f"""SELECT user_id, seq, val,
+                       LEAD(val, {d}) OVER (PARTITION BY user_id ORDER BY seq) AS lead
+                FROM t ORDER BY user_id, seq"""
+        ).arrow()
+        assert got["lead"].to_pylist() == exp["lead"].to_pylist(), f"d={d}"
