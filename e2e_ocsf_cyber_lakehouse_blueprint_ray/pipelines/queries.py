@@ -652,6 +652,30 @@ def q_rolling_window(sf_dir: str):
     )
 
 
+def q_lead_window(sf_dir: str):
+    """Per-user LEAD(value cents): forward shift, nulls at run tails."""
+    ds = _read(sf_dir, "events", ["user_id", "event_id", "ts", "value"])
+
+    def to_cents(b: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "user_id": b["user_id"],
+                "event_id": b["event_id"],
+                "ts": b["ts"],
+                "val_c": pa.array(_cents(b["value"].to_numpy(zero_copy_only=False), 100)),
+            }
+        )
+
+    out = order_mod.lead(
+        ds.map_batches(to_cents, batch_format="pyarrow"),
+        key="user_id", order_cols=["ts", "event_id"], value_col="val_c",
+        offset=1, out_col="next_val_c",
+    )
+    return out.map_batches(
+        lambda b: b.select(["user_id", "event_id", "next_val_c"]), batch_format="pyarrow"
+    )
+
+
 def q_expectations(sf_dir: str):
     """Data-quality expectations (DLT expect analog): per-rule violation
     counts over events in one streaming pass — per-batch combiner, one row
@@ -1736,6 +1760,7 @@ def queries() -> dict:
         "q_value_quantiles": q_value_quantiles,
         "q_rolling_window": q_rolling_window,
         "q_lag_window": q_lag_window,
+        "q_lead_window": q_lead_window,
         "q_expectations": q_expectations,
         "q_distinct_docs_hll": q_distinct_docs_hll,
         "q_frequent_tokens": q_frequent_tokens,
@@ -1927,6 +1952,12 @@ def oracle_sql() -> dict:
               SELECT 'value_under_100',
                      CASE WHEN value < 100.0 THEN 0 ELSE 1 END FROM events
             ) GROUP BY rule ORDER BY rule
+        """,
+        "q_lead_window": """
+            SELECT user_id, event_id,
+                   LEAD(CAST(FLOOR(value * 100 + 0.5) AS BIGINT))
+                     OVER (PARTITION BY user_id ORDER BY ts, event_id) AS next_val_c
+            FROM events
         """,
         "q_lag_window": """
             SELECT user_id, event_id,
