@@ -151,12 +151,20 @@ def snapshot_changes(table: Table, from_id: int, to_id: int):
         return h1, h2
 
     def _sides(fn_factory):
+        # Pin the target snapshot's schema on BOTH diff sides: a side's path
+        # set can mix pre- and post-evolution files (evolution rewrites no
+        # data), and pyarrow.dataset otherwise infers the read schema from
+        # one sampled fragment — a pre-evolution sample would silently drop
+        # evolved columns, so carried rows fail to cancel and the feed emits
+        # spurious removed+added pairs. With the pin, missing columns
+        # null-fill per fragment and _aligned is a cheap no-op.
         sides = []
         for paths, side_val in ((removed_paths, -1), (added_paths, 1)):
             if paths:
                 sides.append(
                     rd.read_parquet(
-                        [os.path.join(table.dir, p) for p in paths]
+                        [os.path.join(table.dir, p) for p in paths],
+                        schema=schema,
                     ).map_batches(fn_factory(side_val), batch_format="pyarrow")
                 )
         return sides[0] if len(sides) == 1 else sides[0].union(sides[1])

@@ -38,12 +38,31 @@ from ..table import Table
 from . import rewrite
 
 
+def _part_column(batch: pa.Table, spec: str, h: np.ndarray | None = None) -> pa.Array:
+    """Per-row ``_part`` routing column for ANY partition spec: int32 codes
+    for ``hash:`` (fast range-sort key) / ``none`` (-1 = root dir), the
+    partition NAME string for ``col:`` specs (codes are batch-local there —
+    see table.spec_partition_codes). The sorted-batch writer dispatches on
+    the column type."""
+    from ..table import spec_partition_codes
+
+    if spec.startswith("hash:"):
+        n = int(spec.rsplit(":", 1)[1])
+        if h is None:
+            h = hash64_column(batch[spec.split(":")[1]])
+        return pa.array((h % np.uint64(n)).astype(np.int32))
+    if spec == "none":
+        return pa.array(np.full(batch.num_rows, -1, np.int32))
+    codes, names = spec_partition_codes(spec, batch)
+    return pa.array(names[codes], pa.string())
+
+
 def add_cluster_key(
     batch: pa.Table,
     *,
     config: EngineConfig,
     curve: str,
-    num_partitions: int,
+    spec: str,
     ts_range: tuple[int, int] | None = None,
 ) -> pa.Table:
     h = hash64_column(batch["conv_id"])
@@ -55,8 +74,8 @@ def add_cluster_key(
         bits=config.curve_bits,
         ts_range=ts_range,
     )
-    part = (h % np.uint64(num_partitions)).astype(np.int32)
-    return batch.append_column("_part", pa.array(part)).append_column("_zkey", pa.array(zk))
+    part = _part_column(batch, spec, h if spec.startswith("hash:conv_id") else None)
+    return batch.append_column("_part", part).append_column("_zkey", pa.array(zk))
 
 
 def ts_range_from_entries(ents: pa.Table) -> tuple[int, int] | None:
@@ -92,13 +111,17 @@ def _write_sorted_batch(
     wid = uuid.uuid4().hex[:10]
     seq = 0
     entries = []
+    part_is_name = pa.types.is_string(batch.schema.field("_part").type)
     parts = batch["_part"].to_numpy(zero_copy_only=False)
     data = batch.drop_columns(["_part", "_zkey"])
     bounds = np.flatnonzero(np.r_[True, parts[1:] != parts[:-1]])
     for i, b in enumerate(bounds):
         e = bounds[i + 1] if i + 1 < len(bounds) else len(parts)
         chunk = data.slice(b, e - b)
-        pdir = "" if parts[b] < 0 else f"part-{int(parts[b])}"  # -1: spec "none"
+        if part_is_name:  # "col:" specs route by partition NAME string
+            pdir = str(parts[b])
+        else:
+            pdir = "" if parts[b] < 0 else f"part-{int(parts[b])}"  # -1: spec "none"
         for off in range(0, chunk.num_rows, rows_per_file):
             sl = chunk.slice(off, rows_per_file)
             name = f"z-{wid}-{seq:06d}.parquet"
@@ -181,7 +204,6 @@ def cluster(
                 "(conv_id); key-less tables cluster per partition"
             )
         spec = table.partition_spec(parent)
-        num_partitions = int(spec.rsplit(":", 1)[1]) if spec.startswith("hash:") else 1
         total_rows = int(pc.sum(ents["rows"]).as_py() or 0)
         total_bytes = int(pc.sum(ents["bytes"]).as_py() or 0)
         bpr = total_bytes / max(1, total_rows)
@@ -199,7 +221,7 @@ def cluster(
             fn_kwargs=dict(
                 config=cfg,
                 curve=curve,
-                num_partitions=num_partitions,
+                spec=spec,
                 ts_range=ts_range_from_entries(ents),
             ),
             batch_format="pyarrow",
@@ -285,8 +307,6 @@ def cluster_by_columns(
         if not pa.types.is_string(sch.field(c).type)
     }
     spec = table.partition_spec(parent)
-    num_partitions = int(spec.rsplit(":", 1)[1]) if spec.startswith("hash:") else 0
-    part_key = spec.split(":")[1] if spec.startswith("hash:") else None
 
     def add_key(batch: pa.Table) -> pa.Table:
         mask = (np.uint64(1) << np.uint64(bits)) - np.uint64(1)
@@ -304,11 +324,12 @@ def cluster_by_columns(
             else:
                 coords.append(np.zeros(batch.num_rows, np.uint64))
         zk = morton_nd(coords, bits)
-        if num_partitions:
-            part = (hash64_column(batch[part_key]) % np.uint64(num_partitions)).astype(np.int32)
-        else:
-            part = np.full(batch.num_rows, -1, np.int32)  # spec "none": root dir
-        return batch.append_column("_part", pa.array(part)).append_column(
+        # route by the table's ACTUAL spec (hash:/col:/none) so manifest
+        # partition names keep matching it — a 'col:'-partitioned table
+        # previously collapsed every row into partition '' here, breaking
+        # partition-scoped scans and MERGE/DELETE routing afterwards
+        part = _part_column(batch, spec)
+        return batch.append_column("_part", part).append_column(
             "_zkey", pa.array(zk.astype(np.int64))
         )
 

@@ -58,6 +58,32 @@ def _write_parquet_atomic(table: pa.Table, path: str) -> int:
     return os.path.getsize(path)
 
 
+def spec_partition_codes(spec: str, batch: pa.Table) -> tuple[np.ndarray, np.ndarray]:
+    """(int code per row, dir name per code) for ANY partition spec.
+    Module-level so task closures can route rows by spec without capturing a
+    Table object. NOTE: for ``col:`` specs the codes are batch-local
+    (dictionary order varies per batch) — cross-batch routing must go
+    through the NAMES (``names[codes]``), never the raw codes."""
+    if spec == "none":
+        return np.zeros(batch.num_rows, np.int64), np.array([""], dtype=object)
+    kind, _, rest = spec.partition(":")
+    if kind == "hash":
+        col, _, p = rest.partition(":")
+        n = int(p)
+        codes = (hash64_column(batch[col]) % np.uint64(n)).astype(np.int64)
+        names = np.array([f"part-{i}" for i in range(n)], dtype=object)
+        return codes, names
+    if kind == "col":
+        vals = batch[rest].cast(pa.string()).combine_chunks()
+        dic = vals.dictionary_encode()
+        uniq = dic.dictionary.to_pylist()
+        idx = dic.indices.fill_null(len(uniq))  # nulls -> extra trailing code
+        codes = idx.to_numpy(zero_copy_only=False).astype(np.int64)
+        names = np.array([f"{rest}-{u}" for u in uniq] + [f"{rest}-None"], dtype=object)
+        return codes, names
+    raise ValueError(f"bad partition spec {spec!r}")
+
+
 class Table:
     def __init__(self, table_dir: str, config: cfg.EngineConfig | None = None):
         self.dir = os.path.abspath(table_dir)
@@ -183,24 +209,7 @@ class Table:
         partition spec (partition-evolution rewrites route by the NEW spec
         before it is committed)."""
         spec = spec if spec is not None else self.partition_spec()
-        if spec == "none":
-            return np.zeros(batch.num_rows, np.int64), np.array([""], dtype=object)
-        kind, _, rest = spec.partition(":")
-        if kind == "hash":
-            col, _, p = rest.partition(":")
-            n = int(p)
-            codes = (hash64_column(batch[col]) % np.uint64(n)).astype(np.int64)
-            names = np.array([f"part-{i}" for i in range(n)], dtype=object)
-            return codes, names
-        if kind == "col":
-            vals = batch[rest].cast(pa.string()).combine_chunks()
-            dic = vals.dictionary_encode()
-            uniq = dic.dictionary.to_pylist()
-            idx = dic.indices.fill_null(len(uniq))  # nulls -> extra trailing code
-            codes = idx.to_numpy(zero_copy_only=False).astype(np.int64)
-            names = np.array([f"{rest}-{u}" for u in uniq] + [f"{rest}-None"], dtype=object)
-            return codes, names
-        raise ValueError(f"bad partition spec {spec!r}")
+        return spec_partition_codes(spec, batch)
 
     def partition_values(self, batch: pa.Table) -> np.ndarray:
         """Partition dir name per row (object ndarray of strings)."""
@@ -253,6 +262,14 @@ class Table:
             # fragment, and a pre-evolution fragment would silently DROP
             # columns newer files carry (pre-evolution files null-fill)
             read_kwargs.setdefault("schema", self.schema(snapshot_id))
+        else:
+            # projected scans need the pin too: a projection that includes an
+            # evolved column over a mixed-era file set is otherwise at the
+            # mercy of which fragment pyarrow samples first
+            sch = self.schema(snapshot_id)
+            read_kwargs.setdefault(
+                "schema", pa.schema([sch.field(c) for c in columns])
+            )
         return rd.read_parquet(paths, columns=columns, **read_kwargs)
 
     def read_arrow(

@@ -200,6 +200,43 @@ def test_compact_partition_scope_and_history_metrics(tmp_table_dir, ray_session,
     )
 
 
+def test_cluster_keeps_col_spec_partition_names(tmp_table_dir, ray_session, base_data):
+    """Clustering a 'col:'-partitioned table (the medallion tables use
+    col:_event_date) must keep manifest partition names spec-derived —
+    previously every row routed to partition '' while the spec stayed
+    'col:...', so partition-scoped scans and MERGE/DELETE routing missed
+    all files (round-2 ADVICE item 2)."""
+    from e2e_ocsf_cyber_lakehouse_blueprint_ray.table import Table
+    from e2e_ocsf_cyber_lakehouse_blueprint_ray.schema import TRANSCRIPT, TRANSCRIPT_STATS_COLS
+
+    t = Table.create(
+        tmp_table_dir,
+        TRANSCRIPT,
+        partition_spec="col:role",
+        config=CONF,
+        stats_cols=TRANSCRIPT_STATS_COLS,
+    )
+    t.write_table(base_data, rows_per_file=300)
+    roles = set(pc.unique(base_data["role"]).to_pylist())
+    expected_parts = {f"role-{r}" for r in roles}
+    assert set(t.entries()["partition"].to_pylist()) == expected_parts
+
+    sid = cluster_mod.cluster_by_columns(t, ["conv_id", "turn_idx"])
+    assert sid == t.current_snapshot_id()
+    assert sorted_scan(t).equals(expected_sorted(base_data))
+    assert set(t.entries()["partition"].to_pylist()) == expected_parts
+    # partition-scoped pruning still matches files after the rewrite
+    one = sorted(expected_parts)[0]
+    pruned = t.pruned_entries(partitions=[one])
+    assert 0 < pruned.num_rows < t.entries().num_rows
+
+    # the global-sort cluster path must route identically
+    sid = cluster_mod.cluster(t, mode="global", curve="zorder")
+    assert sid == t.current_snapshot_id()
+    assert sorted_scan(t).equals(expected_sorted(base_data))
+    assert set(t.entries()["partition"].to_pylist()) == expected_parts
+
+
 def test_cluster_by_columns_multi_dim(tmp_table_dir, ray_session, base_data):
     """Generalized CLUSTER BY (conv_id, turn_idx, ts): scan equality plus
     per-file stats tight enough that a turn_idx range prunes files — the
