@@ -151,6 +151,10 @@ def main(argv=None) -> int:
             try:
                 return int(v)
             except ValueError:
+                pass
+            try:
+                return float(v)  # float bounds / float-typed stats column
+            except ValueError:
                 return v  # string-typed stats column (e.g. conv_id)
 
         out["snapshot"] = delete.delete_where(

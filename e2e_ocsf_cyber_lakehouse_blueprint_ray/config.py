@@ -54,6 +54,14 @@ class EngineConfig:
     hot_key_rows: int = 100_000
     salt_chunk_rows: int = 50_000
 
+    # --- near-dup LSH ------------------------------------------------------
+    #: degenerate-bucket guard for MinHash/SimHash blocking: a band bucket
+    #: with more than this many members (boilerplate-identical docs, empty
+    #: docs sharing a signature) emits a consecutive-id CHAIN (m-1 pairs,
+    #: preserving duplicate-cluster connectivity) instead of the O(m^2)
+    #: all-pairs expansion — the standard LSH skew guard.
+    lsh_bucket_cap: int = 256
+
     # --- retention ------------------------------------------------------
     #: snapshots kept by expire_snapshots() unless overridden.
     keep_snapshots: int = 3

@@ -146,9 +146,37 @@ def refresh_conv_count_view(
         .groupby("conv_id")
         .aggregate(Sum("d_sum"))
     )
-    # churn-sized from here on (one row per conv that changed)
-    drows = deltas_ds.take_all()
-    if not drows:
+    # churn-sized from here on (one row per conv that changed) — but bound
+    # the driver fold EXPLICITLY: stream the delta batches up to the
+    # broadcast budget, and past it switch to a fully distributed rebuild
+    # (one _counts_ds pass + replace-commit). At that churn level the
+    # rebuild is cheaper than a churn merge anyway, and the driver never
+    # holds more than budget rows (round-2 verdict item 5).
+    budget = view.config.merge_broadcast_max_rows
+    parts: list[pa.Table] = []
+    n_delta = 0
+    overflow = False
+    for b in deltas_ds.iter_batches(batch_size=None, batch_format="pyarrow"):
+        parts.append(b)
+        n_delta += b.num_rows
+        if n_delta > budget:
+            overflow = True
+            break
+    if overflow:
+        parent = view.current_snapshot_id()
+        added = view.stage_dataset_files(
+            _counts_ds(src, cur), sort_within_file=["conv_id"], name_prefix="vr"
+        )
+        removed = view.entries(parent)["path"].to_pylist()
+        return view.commit(
+            added=added,
+            removed=removed,
+            operation="view-rebuild",
+            expected_parent=parent,
+            use_actor=use_actor,
+            extra={MARKER: str(cur)},
+        )
+    if not parts or n_delta == 0:
         # maintenance-only diff: nothing to apply, just advance the marker
         return view.commit(
             added=None,
@@ -158,10 +186,11 @@ def refresh_conv_count_view(
             use_actor=use_actor,
             extra={MARKER: str(cur)},
         )
+    cat = pa.concat_tables(parts)
     dt = pa.table(
         {
-            "conv_id": pa.array([r["conv_id"] for r in drows], pa.string()),
-            "delta": pa.array([r["sum(d_sum)"] for r in drows], pa.int64()),
+            "conv_id": cat["conv_id"].cast(pa.string()),
+            "delta": cat["sum(d_sum)"].cast(pa.int64()),
         }
     )
     dt = dt.filter(pc.not_equal(dt["delta"], 0))

@@ -376,12 +376,20 @@ def minhash_duplicate_pairs(
         concurrency=config.rewrite_concurrency,
     )
 
+    bucket_cap = config.lsh_bucket_cap
+
     def bucket_pairs(g: pa.Table) -> pa.Table:
         ids = sorted(set(g["doc_id"].to_pylist()))
-        out_a, out_b = [], []
-        for x, y in itertools.combinations(ids, 2):
-            out_a.append(x)
-            out_b.append(y)
+        if len(ids) > bucket_cap:
+            # degenerate bucket (e.g. boilerplate-identical docs): emit the
+            # consecutive-id CHAIN — m-1 pairs keep the duplicate cluster
+            # connected for duplicate_clusters() without the O(m^2) blowup
+            out_a, out_b = ids[:-1], ids[1:]
+        else:
+            out_a, out_b = [], []
+            for x, y in itertools.combinations(ids, 2):
+                out_a.append(x)
+                out_b.append(y)
         return pa.table({"a": pa.array(out_a, pa.int64()), "b": pa.array(out_b, pa.int64())})
 
     cand = sig_ds.groupby(["band", "band_hash"]).map_groups(bucket_pairs, batch_format="pyarrow")
@@ -426,14 +434,31 @@ def verify_candidate_pairs(
         doc_pairs.setdefault(int(r["a"]), []).append(pid)
         doc_pairs.setdefault(int(r["b"]), []).append(pid)
     idx_ref = ray.put(doc_pairs)
+    # sorted array of candidate doc ids for the vectorized per-batch
+    # pre-filter — candidates are sparse in the corpus, so the full-batch
+    # np.isin mask runs BEFORE any per-row work
+    cand_ids = np.array(sorted(doc_pairs), dtype=np.int64)
     k, thr = shingle_k, threshold
     n_pairs = len(pair_rows)
     pair_ab = [(int(r["a"]), int(r["b"])) for r in pair_rows]
 
+    _EMPTY_SH = pa.table(
+        {
+            "pair_id": pa.array([], pa.int64()),
+            "doc": pa.array([], pa.int64()),
+            "sh": pa.array([], pa.list_(pa.int64())),
+        }
+    )
+
     def emit_shingles(batch: pa.Table) -> pa.Table:
+        ids = batch[id_col].cast(pa.int64()).to_numpy(zero_copy_only=False)
+        mask = np.isin(ids, cand_ids)
+        if not mask.any():
+            return _EMPTY_SH
+        hits = batch.filter(pa.array(mask))  # few rows — loop only these
         index = ray.get(idx_ref)
-        out_pid, out_sh = [], []
-        for i, t in zip(batch[id_col].to_pylist(), batch[text_col].to_pylist()):
+        out_pid, out_doc, out_sh = [], [], []
+        for i, t in zip(hits[id_col].to_pylist(), hits[text_col].to_pylist()):
             pids = index.get(int(i))
             if not pids:
                 continue
@@ -442,10 +467,12 @@ def verify_candidate_pairs(
             ).view(np.int64).tolist()
             for pid in pids:
                 out_pid.append(pid)
+                out_doc.append(int(i))
                 out_sh.append(sh)
         return pa.table(
             {
                 "pair_id": pa.array(out_pid, pa.int64()),
+                "doc": pa.array(out_doc, pa.int64()),
                 "sh": pa.array(out_sh, pa.list_(pa.int64())),
             }
         )
@@ -455,10 +482,22 @@ def verify_candidate_pairs(
     def verify_pair(g: pa.Table) -> pa.Table:
         empty = pa.table({"a": pa.array([], pa.int64()), "b": pa.array([], pa.int64()),
                           "jaccard": pa.array([], pa.float64())})
-        if g.num_rows != 2:
+        # a doc_id that appears more than once in the corpus contributes one
+        # shingle row per occurrence — dedupe per (pair_id, doc) instead of
+        # silently dropping the pair on group-cardinality != 2
+        docs = g["doc"].to_numpy(zero_copy_only=False)
+        uniq, first = np.unique(docs, return_index=True)
+        if len(uniq) != 2:
+            if g.num_rows:  # one side filtered out upstream: unverifiable
+                import logging
+
+                logging.getLogger(__name__).debug(
+                    "candidate pair %s unverifiable: %d distinct docs present",
+                    int(g["pair_id"][0].as_py()), len(uniq),
+                )
             return empty
-        s0 = set(g["sh"][0].as_py())
-        s1 = set(g["sh"][1].as_py())
+        s0 = set(g["sh"][int(first[0])].as_py())
+        s1 = set(g["sh"][int(first[1])].as_py())
         j = jaccard(s0, s1)
         if j < thr:
             return empty
@@ -550,6 +589,7 @@ def simhash_duplicate_pairs(ds, *, max_hamming: int = 3, id_col: str = "doc_id",
     ex = ds.map_batches(explode, batch_format="pyarrow", batch_size=config.batch_size)
 
     mh = max_hamming
+    bucket_cap = config.lsh_bucket_cap
 
     def bucket_pairs(g: pa.Table) -> pa.Table:
         ids = g["doc_id"].to_pylist()
@@ -557,8 +597,15 @@ def simhash_duplicate_pairs(ds, *, max_hamming: int = 3, id_col: str = "doc_id",
         seen = {}
         for i, s in zip(ids, sims):
             seen[i] = s
+        ordered = sorted(seen)
+        if len(ordered) > bucket_cap:
+            # degenerate-bucket guard: chain instead of all-pairs (the
+            # cluster stays connected via transitive verified links)
+            cand_iter = zip(ordered[:-1], ordered[1:])
+        else:
+            cand_iter = itertools.combinations(ordered, 2)
         out_a, out_b, out_h = [], [], []
-        for x, y in itertools.combinations(sorted(seen), 2):
+        for x, y in cand_iter:
             d = int(bin(int(seen[x]) ^ int(seen[y])).count("1"))
             if d <= mh:
                 out_a.append(x)
@@ -670,6 +717,8 @@ def embedding_near_dup_pairs(ds, *, threshold: float = 0.95, n_clusters: int = 8
 
     ex = ds.map_batches(explode, batch_format="pyarrow", batch_size=config.batch_size)
 
+    bucket_cap = config.lsh_bucket_cap * 8  # matmul buckets tolerate more
+
     def bucket_pairs(g: pa.Table) -> pa.Table:
         from .similarity import vec_matrix
 
@@ -681,6 +730,36 @@ def embedding_near_dup_pairs(ds, *, threshold: float = 0.95, n_clusters: int = 8
         if len(ids) < 2:
             return pa.table({"a": pa.array([], pa.int64()), "b": pa.array([], pa.int64()),
                              "cosine": pa.array([], pa.float64())})
+        m = len(ids)
+        if m > bucket_cap:
+            # degenerate-bucket guard: O(m*W) windowed comparison instead of
+            # the O(m^2) matmul. Sort by projection onto the bucket's mean
+            # direction — near-identical vectors land adjacent, so a window
+            # of W neighbors catches cos>=thr pairs (the guard trades the
+            # adversarial tail for boundedness, same contract as the LSH
+            # chain guard above).
+            w = 64
+            proj = vn @ (vn.mean(axis=0) + 1e-9)
+            order = np.argsort(proj, kind="stable")
+            ids, vn = ids[order], vn[order]
+            out_a, out_b, out_c = [], [], []
+            for off in range(1, w + 1):
+                if off >= m:
+                    break
+                sims = np.einsum("ij,ij->i", vn[:-off], vn[off:])
+                hit = np.nonzero(sims >= thr)[0]
+                a, b = ids[hit], ids[hit + off]
+                out_a.append(np.minimum(a, b))
+                out_b.append(np.maximum(a, b))
+                out_c.append(sims[hit])
+            return pa.table({
+                "a": pa.array(np.concatenate(out_a) if out_a else np.array([], np.int64)),
+                "b": pa.array(np.concatenate(out_b) if out_b else np.array([], np.int64)),
+                "cosine": pa.array(
+                    np.concatenate(out_c) if out_c else np.array([], np.float64),
+                    pa.float64(),
+                ),
+            })
         sims = vn @ vn.T
         r, c = np.nonzero(np.triu(sims >= thr, k=1))
         a, b = ids[r], ids[c]

@@ -100,17 +100,26 @@ def _bloom_positions(value: str) -> list[int]:
 
 
 def bloom_build(values) -> str | None:
-    """base64 bloom of the distinct string values, or None if too many."""
+    """base64 bloom of the distinct string values, or None if too many.
+    Bit positions are computed with vectorized numpy double-hashing —
+    bit-identical to _bloom_positions (h1 + i*h2 stays < 2^34, no wrap)."""
     import numpy as np
+
+    from ..hashing import hash64_str
 
     if len(values) > BLOOM_MAX_DISTINCT:
         return None
     bits = np.zeros(BLOOM_BITS // 8, dtype=np.uint8)
-    for v in values:
-        if v is None:
-            continue
-        for p in _bloom_positions(v):
-            bits[p >> 3] |= 1 << (p & 7)
+    hs = np.fromiter(
+        (hash64_str(v) for v in values if v is not None), dtype=np.uint64
+    )
+    if len(hs):
+        h1 = hs & np.uint64(0xFFFFFFFF)
+        h2 = (hs >> np.uint64(32)) | np.uint64(1)
+        ks = np.arange(BLOOM_K, dtype=np.uint64)
+        pos = ((h1[:, None] + ks[None, :] * h2[:, None]) % np.uint64(BLOOM_BITS)).reshape(-1)
+        p = pos.astype(np.int64)
+        np.bitwise_or.at(bits, p >> 3, (np.uint8(1) << (p & 7).astype(np.uint8)))
     return base64.b64encode(bits.tobytes()).decode()
 
 
@@ -152,7 +161,9 @@ def compute_stats(table: pa.Table, cols: list[str] | None = None) -> dict:
         if isinstance(hi, str):
             hi = truncate_max(hi)
         out[name] = {"min": lo, "max": hi, "nulls": nulls}
-        if pa.types.is_string(t):
+        if pa.types.is_string(t) and not os.environ.get("ENGINE_DISABLE_BLOOMS"):
+            # env gate: lets the bench isolate bloom-build cost on the
+            # write path (readers treat a missing bloom as "may contain")
             uniq = pc.unique(
                 col.combine_chunks() if isinstance(col, pa.ChunkedArray) else col
             )

@@ -74,3 +74,40 @@ def test_view_build_and_refresh_cycle(tmp_table_dir, ray_session, tmp_path):
     expected = pa.concat_tables([expected, bumped])
     incremental.refresh_conv_count_view(src, view)
     assert _view_counts(view) == _expected_counts(expected)
+
+
+def test_refresh_overflow_falls_back_to_distributed_rebuild(
+    tmp_table_dir, ray_session, tmp_path
+):
+    """Churn above the broadcast budget must NOT fold on the driver: the
+    refresh switches to a full distributed rebuild in one atomic commit,
+    with the marker landing in the same snapshot."""
+    import dataclasses
+
+    conf = dataclasses.replace(CONF, merge_broadcast_max_rows=10)  # tiny budget
+    data = synth.transcripts(0.001)
+    from e2e_ocsf_cyber_lakehouse_blueprint_ray.table import Table
+    from e2e_ocsf_cyber_lakehouse_blueprint_ray.schema import TRANSCRIPT, TRANSCRIPT_STATS_COLS
+
+    src = Table.create(
+        tmp_table_dir,
+        TRANSCRIPT,
+        partition_spec=f"hash:conv_id:{conf.num_partitions}",
+        config=conf,
+        stats_cols=TRANSCRIPT_STATS_COLS,
+    )
+    src.write_table(data, rows_per_file=300)
+    view = incremental.create_conv_count_view(src, str(tmp_path / "view"), config=conf)
+
+    # touch far more than 10 conversations → delta set overflows the budget
+    before = sorted_scan(src)
+    msrc = synth.merge_source(before)
+    merge_mod.merge(src, msrc)
+    expected = synth.apply_merge_expected(before, msrc)
+    assert len(_expected_counts(expected)) > 10
+
+    sid = incremental.refresh_conv_count_view(src, view)
+    ops = {h["snapshot_id"]: h["operation"] for h in view.history()}
+    assert ops[sid] == "view-rebuild"
+    assert _view_counts(view) == _expected_counts(expected)
+    assert incremental.synced_snapshot(view) == src.current_snapshot_id()

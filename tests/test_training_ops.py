@@ -203,6 +203,103 @@ def test_minhash_lsh_finds_planted_near_dupes(ray_session):
     _ = words
 
 
+def test_lsh_degenerate_bucket_capped(ray_session):
+    """10^4 identical docs share every band signature: without the bucket
+    cap each of the 16 band buckets emits ~5*10^7 pairs. With the chain
+    guard the candidate count stays linear and the duplicate CLUSTER is
+    still fully connected."""
+    import dataclasses
+
+    import ray.data as rd
+
+    n = 10_000
+    txt = " ".join(f"w{i}" for i in range(30))
+    base = pa.table(
+        {
+            "doc_id": pa.array(np.arange(n, dtype=np.int64)),
+            "text": pa.array([txt] * n),
+        }
+    )
+    conf = dataclasses.replace(CONF, lsh_bucket_cap=64)
+    cand = dedup.minhash_duplicate_pairs(
+        rd.from_arrow(base), verify=False, config=conf
+    ).take_all()
+    # chain pairs only: at most (n-1) per band before the distinct groupby
+    assert 0 < len(cand) <= n
+    clusters = dedup.duplicate_clusters(
+        pa.table(
+            {
+                "a": pa.array([p["a"] for p in cand], pa.int64()),
+                "b": pa.array([p["b"] for p in cand], pa.int64()),
+            }
+        )
+    )
+    assert clusters.num_rows == n  # every doc in the one cluster
+    assert len(set(clusters["cluster_id"].to_pylist())) == 1
+
+    sim = dedup.simhash_duplicate_pairs(
+        rd.from_arrow(base), max_hamming=3, config=conf
+    ).take_all()
+    assert 0 < len(sim) <= n
+
+
+def test_embedding_degenerate_bucket_windowed(ray_session):
+    """All-identical embeddings collapse into one quantizer bucket; past the
+    cap the windowed O(m*W) path must still connect the duplicate cluster."""
+    import dataclasses
+
+    import ray.data as rd
+
+    n, d = 400, 8
+    rng = np.random.default_rng(3)
+    v = rng.normal(size=d)
+    vecs = np.tile(v, (n, 1)).astype(np.float64)
+    base = pa.table(
+        {
+            "vec_id": pa.array(np.arange(n, dtype=np.int64)),
+            "embedding": pa.array(list(vecs), pa.list_(pa.float64())),
+        }
+    )
+    conf = dataclasses.replace(CONF, lsh_bucket_cap=8)  # embedding cap = 64
+    pairs = dedup.embedding_near_dup_pairs(
+        rd.from_arrow(base), threshold=0.95, config=conf
+    ).take_all()
+    # bounded emission: O(n*W), nowhere near the n(n-1)/2 = 79800 all-pairs
+    assert 0 < len(pairs) < n * 70
+    clusters = dedup.duplicate_clusters(
+        pa.table(
+            {
+                "a": pa.array([p["a"] for p in pairs], pa.int64()),
+                "b": pa.array([p["b"] for p in pairs], pa.int64()),
+            }
+        )
+    )
+    assert clusters.num_rows == n
+    assert len(set(clusters["cluster_id"].to_pylist())) == 1
+
+
+def test_verify_pairs_with_duplicate_doc_ids(ray_session):
+    """A doc_id occurring twice in the corpus must not silently drop its
+    candidate pair (the pair group then has >2 shingle rows)."""
+    import ray.data as rd
+
+    t0 = " ".join(f"w{i}" for i in range(60))
+    t1 = t0.replace("w10", "w10x")
+    base = pa.table(
+        {
+            # doc 0 appears twice (same text) — e.g. re-ingested row
+            "doc_id": pa.array([0, 0, 1], pa.int64()),
+            "text": pa.array([t0, t0, t1]),
+        }
+    )
+    cand = pa.table({"a": pa.array([0], pa.int64()), "b": pa.array([1], pa.int64())})
+    out = dedup.verify_candidate_pairs(
+        rd.from_arrow(base), cand, threshold=0.7, config=CONF
+    ).take_all()
+    assert {(p["a"], p["b"]) for p in out} == {(0, 1)}
+    assert out[0]["jaccard"] > 0.8
+
+
 def test_simhash_finds_planted_near_dupes(ray_session):
     import ray.data as rd
 
