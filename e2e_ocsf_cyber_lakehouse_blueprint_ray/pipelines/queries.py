@@ -592,6 +592,26 @@ def q_hash_join(sf_dir: str):
     return joins_mod.hash_join(orders, cust, on="o_custkey", how="inner", num_buckets=32)
 
 
+def q_semi_join(sf_dir: str):
+    """Broadcast semi-join (allowlist filter): keep documents whose doc_id
+    has an embedding with label = 0 — one ray.put of the deduped key set,
+    one vectorized is_in per batch, no shuffle."""
+    keys = _pq(sf_dir, "embeddings", ["vec_id", "label"])
+    keys = keys.filter(pc.equal(keys["label"], 0))["vec_id"]
+    docs = _read(sf_dir, "documents", ["doc_id", "source", "n_chars"])
+    return joins_mod.semi_join(docs, keys, on="doc_id")
+
+
+def q_anti_join(sf_dir: str):
+    """Broadcast anti-join (blocklist removal — the training-data curation
+    shape): drop documents whose doc_id appears in the label-0 embedding
+    set. NOT EXISTS null-key semantics."""
+    keys = _pq(sf_dir, "embeddings", ["vec_id", "label"])
+    keys = keys.filter(pc.equal(keys["label"], 0))["vec_id"]
+    docs = _read(sf_dir, "documents", ["doc_id", "source", "n_chars"])
+    return joins_mod.anti_join(docs, keys, on="doc_id")
+
+
 def q_hash_join_outer(sf_dir: str):
     """Left-outer shuffle hash join: every customer row survives; customers
     without orders carry a null order count contribution. Aggregated to
@@ -1798,6 +1818,9 @@ def queries() -> dict:
         "q_dedup_minhash": q_dedup_minhash,
         "q_dedup_simhash": q_dedup_simhash,
         "q_ngram_jaccard": q_ngram_jaccard,
+        # --- new in round 3 (no driver history yet) ---
+        "q_semi_join": q_semi_join,
+        "q_anti_join": q_anti_join,
         # --- high-value maintenance / medallion ops (green r1+r2, keep in
         # the driver window: they exercise the snapshot log + table engine) ---
         "q_medallion_gold": q_medallion_gold,
@@ -1822,9 +1845,10 @@ def queries() -> dict:
         "q_token_count": q_token_count,
         "q_token_count_bpe": q_token_count_bpe,
         "q_text_quality": q_text_quality,
+        # --- tail (hash-green in BOTH r01 and r02, or rows-only-by-nature;
+        # outside the 50-window) ---
         "q_distinct_docs_hll": q_distinct_docs_hll,
         "q_expectations": q_expectations,
-        # --- tail (hash-green in BOTH r01 and r02; outside the 50-window) ---
         "q01_pricing_summary": q01_pricing_summary,
         "q03_top_orders": q03_top_orders,
         "q05_region_revenue": q05_region_revenue,
@@ -1958,6 +1982,16 @@ def oracle_sql() -> dict:
         "q_hash_join": """
             SELECT o.o_orderkey, o.o_custkey, c.c_name, c.c_mktsegment
             FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+        """,
+        "q_semi_join": """
+            SELECT d.doc_id, d.source, d.n_chars FROM documents d
+            WHERE EXISTS (SELECT 1 FROM embeddings e
+                          WHERE e.label = 0 AND e.vec_id = d.doc_id)
+        """,
+        "q_anti_join": """
+            SELECT d.doc_id, d.source, d.n_chars FROM documents d
+            WHERE NOT EXISTS (SELECT 1 FROM embeddings e
+                              WHERE e.label = 0 AND e.vec_id = d.doc_id)
         """,
         "q_hash_join_outer": """
             SELECT c.c_mktsegment,

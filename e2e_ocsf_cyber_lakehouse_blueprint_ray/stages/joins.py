@@ -298,6 +298,52 @@ def hash_join(left_ds, right_ds, *, on, how: str = "inner",
     return u.groupby("_b").map_groups(join_bucket, batch_format="pyarrow")
 
 
+def semi_join(left_ds, keys, *, on: str, anti: bool = False):
+    """Broadcast semi/anti join — the blocklist/allowlist curation filter
+    (keep documents whose id IS / IS NOT in a key set).
+
+    The key side is deduped + null-stripped driver-side and ``ray.put``
+    ONCE; every task then filters its batch with one vectorized
+    ``pc.is_in`` — no shuffle, fully streaming, zero-copy left side. Use
+    this whenever the key side fits a broadcast (a blocklist of even 10^8
+    64-bit ids is <1 GB); a genuinely large key side should go through
+    ``hash_join(how="inner")`` + project instead.
+
+    Null-key semantics match SQL EXISTS / NOT EXISTS: semi drops null-key
+    rows (no match possible), anti KEEPS them.
+
+    ``keys``: pa.Table (column ``on``), pa.Array/ChunkedArray, or a Ray
+    Dataset (materialized driver-side — key sets are small by contract).
+    """
+    import ray
+
+    if hasattr(keys, "take_all") and not isinstance(keys, (pa.Table, pa.Array, pa.ChunkedArray)):
+        import pyarrow as _pa
+
+        rows = keys.take_all()
+        keys = _pa.array([r[on] for r in rows])
+    if isinstance(keys, pa.Table):
+        keys = keys[on]
+    if isinstance(keys, pa.ChunkedArray):
+        keys = keys.combine_chunks()
+    keys = pc.unique(keys.drop_null())
+    key_ref = ray.put(keys)
+    is_anti = anti
+
+    def fn(b: pa.Table) -> pa.Table:
+        vs = ray.get(key_ref)
+        isin = pc.fill_null(pc.is_in(b[on], value_set=vs), False)
+        return b.filter(pc.invert(isin) if is_anti else isin)
+
+    return left_ds.map_batches(fn, batch_format="pyarrow")
+
+
+def anti_join(left_ds, keys, *, on: str):
+    """NOT EXISTS filter: left rows whose ``on`` key is absent from the
+    broadcast key set (null-key rows kept, SQL semantics)."""
+    return semi_join(left_ds, keys, on=on, anti=True)
+
+
 def asof_join_partitioned(left_ds, right_ds, *, key: str, ts: str,
                           payload: list[str], direction: str = "backward",
                           tolerance_us: int | None = None, strict: bool = False):

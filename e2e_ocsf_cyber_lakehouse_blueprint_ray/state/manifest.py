@@ -167,9 +167,10 @@ def compute_stats(table: pa.Table, cols: list[str] | None = None) -> dict:
             uniq = pc.unique(
                 col.combine_chunks() if isinstance(col, pa.ChunkedArray) else col
             )
-            bloom = bloom_build(uniq.to_pylist())
-            if bloom is not None:
-                out[name]["bloom"] = bloom
+            if len(uniq) <= BLOOM_MAX_DISTINCT:  # skip to_pylist when over
+                bloom = bloom_build(uniq.to_pylist())
+                if bloom is not None:
+                    out[name]["bloom"] = bloom
     return out
 
 

@@ -243,3 +243,44 @@ def test_hash_join_multi_key(ray_session):
     con.register("r", right)
     exp = con.execute("SELECT l.a, l.b, l.lv, r.rv FROM l JOIN r USING (a, b)").arrow()
     assert _sorted_rows(got) == _sorted_rows(exp)
+
+
+def test_semi_and_anti_join_sql_semantics(ray_session):
+    """Broadcast semi/anti join vs DuckDB EXISTS / NOT EXISTS, including
+    null-key rows (semi drops them, anti keeps them) and duplicate keys on
+    the key side (deduped — each left row emitted at most once)."""
+    import duckdb
+    import ray.data as rd
+
+    left = pa.table(
+        {
+            "doc_id": pa.array([1, 2, 3, 4, None, 6], pa.int64()),
+            "v": pa.array(["a", "b", "c", "d", "e", "f"]),
+        }
+    )
+    keys = pa.array([2, 2, 4, None, 99], pa.int64())
+
+    semi = joins.semi_join(rd.from_arrow(left), keys, on="doc_id").take_all()
+    anti = joins.anti_join(rd.from_arrow(left), keys, on="doc_id").take_all()
+
+    con = duckdb.connect()
+    con.register("l", left)
+    con.register("k", pa.table({"doc_id": keys}))
+    exp_semi = con.sql(
+        "SELECT * FROM l WHERE EXISTS (SELECT 1 FROM k WHERE k.doc_id = l.doc_id) ORDER BY doc_id"
+    ).fetchall()
+    exp_anti = con.sql(
+        "SELECT * FROM l WHERE NOT EXISTS (SELECT 1 FROM k WHERE k.doc_id = l.doc_id) "
+        "ORDER BY doc_id NULLS FIRST"
+    ).fetchall()
+    semi_rows = sorted([(r["doc_id"], r["v"]) for r in semi])
+    anti_rows = sorted(
+        [(r["doc_id"], r["v"]) for r in anti], key=lambda x: (x[0] is not None, x[0] or 0)
+    )
+    assert semi_rows == [tuple(r) for r in exp_semi]
+    assert anti_rows == [tuple(r) for r in exp_anti]
+    # key side as a Ray Dataset works too
+    semi2 = joins.semi_join(
+        rd.from_arrow(left), rd.from_arrow(pa.table({"doc_id": keys})), on="doc_id"
+    ).take_all()
+    assert sorted([(r["doc_id"], r["v"]) for r in semi2]) == semi_rows
