@@ -56,6 +56,8 @@ def _read(sf_dir: str, table: str, columns=None):
     # makes pa.Schema unhashable, which defeats Ray's block-schema dedup and
     # logs "Failed to hash the schemas" on every downstream stage.
     schema = pq.read_schema(path).remove_metadata()
+    # field-LEVEL metadata also makes the schema unhashable — strip it too
+    schema = pa.schema([schema.field(i).remove_metadata() for i in range(len(schema))])
     if columns is not None:
         schema = pa.schema([schema.field(c) for c in columns])
     return rd.read_parquet(path, columns=columns, schema=schema)
@@ -1381,13 +1383,60 @@ def q_multimodal_resize(sf_dir: str):
     )
 
 
+_DOC_TWIN_N = 16  # doc_ids [0, N) with non-blank text get an exact-copy twin
+_DOC_TWIN_OFFSET = 10_000_000  # twin doc_id = original + offset
+
+
+def _plant_doc_twins(batch: pa.Table) -> pa.Table:
+    """Append exact-copy twins (identical text → word-shingle Jaccard 1.0)
+    for the lowest doc_ids so the MinHash-LSH pair list has a deterministic,
+    SQL-checkable subset: identical texts yield identical signatures, hence
+    collide in EVERY band, so LSH emits them with probability 1 (and the
+    degenerate-bucket chain orders by full signature, keeping identical-sig
+    docs adjacent).  Only texts containing a non-whitespace char get twins —
+    blank texts all share the degenerate single-empty-token shingle set,
+    which a text-equality oracle can't model (round-3 verdict item 3)."""
+    mask = pc.and_(
+        pc.less(batch["doc_id"], _DOC_TWIN_N),
+        pc.fill_null(pc.match_substring_regex(batch["text"], r"\S"), False),
+    )
+    twins = batch.filter(mask)
+    twins = twins.set_column(
+        twins.schema.get_field_index("doc_id"),
+        "doc_id",
+        pc.add(twins["doc_id"], _DOC_TWIN_OFFSET),
+    )
+    return pa.concat_tables([batch, twins])
+
+
+def _exact_pairs_table(pairs_ds) -> pa.Table:
+    """Collect the tiny verified-pair list and keep only exact duplicates
+    (jaccard == 1.0) as a sorted (a, b) table — the deterministic subset a
+    SQL identical-text self-join can oracle-check."""
+    rows = [
+        (int(r["a"]), int(r["b"]))
+        for r in pairs_ds.take_all()
+        if r["jaccard"] >= 1.0
+    ]
+    rows.sort()
+    return pa.table(
+        {
+            "a": pa.array([r[0] for r in rows], pa.int64()),
+            "b": pa.array([r[1] for r in rows], pa.int64()),
+        }
+    )
+
+
 def q_ngram_jaccard_lsh(sf_dir: str):
     """Production n-gram Jaccard: MinHash-LSH candidates + exact distributed
-    per-pair verification (no grouping column, no per-group O(m²))."""
-    return dedup_mod.ngram_jaccard_pairs(
-        _read(sf_dir, "documents", ["doc_id", "text"]),
-        group_col=None, threshold=0.5, config=CONF,
+    per-pair verification (no grouping column, no per-group O(m²)).  Planted
+    exact twins make the jaccard==1.0 subset deterministic and hash-checkable
+    against a SQL identical-text self-join (round-3 verdict item 3)."""
+    ds = _read(sf_dir, "documents", ["doc_id", "text"]).map_batches(
+        _plant_doc_twins, batch_format="pyarrow", batch_size=CONF.batch_size
     )
+    out = dedup_mod.ngram_jaccard_pairs(ds, group_col=None, threshold=0.5, config=CONF)
+    return _exact_pairs_table(out)
 
 
 def q_ann_topk(sf_dir: str):
@@ -1562,9 +1611,15 @@ def q_medallion_gold(sf_dir: str):
 
 
 def q_dedup_minhash(sf_dir: str):
-    return dedup_mod.minhash_duplicate_pairs(
-        _read(sf_dir, "documents", ["doc_id", "text"]), threshold=0.5, config=CONF
+    """Full MinHash-LSH near-dup pipeline (signatures → banding → candidate
+    pairs → exact verification) with planted exact twins; the output is the
+    deterministic jaccard==1.0 subset, hash-checked against a SQL
+    identical-text self-join (round-3 verdict item 3)."""
+    ds = _read(sf_dir, "documents", ["doc_id", "text"]).map_batches(
+        _plant_doc_twins, batch_format="pyarrow", batch_size=CONF.batch_size
     )
+    out = dedup_mod.minhash_duplicate_pairs(ds, threshold=0.5, config=CONF)
+    return _exact_pairs_table(out)
 
 
 def q_dedup_simhash(sf_dir: str):
@@ -2321,6 +2376,36 @@ def oracle_sql() -> dict:
             WHERE a.vec_id < b.vec_id
               AND list_cosine_similarity(a.embedding, b.embedding) >= 0.95
         """,
-        # q_ann_ivf / q_dedup_minhash / q_dedup_simhash / q_ngram_jaccard /
-        # q_fingerprint_winnow: approximate / non-SQL-expressible → rows-only.
+        # Exact-twin subset oracle: the engine emits pairs at word-shingle
+        # jaccard == 1.0, i.e. identical whitespace-normalized token
+        # sequences; LSH finds ALL of them deterministically (identical
+        # signatures collide in every band).  ntext models the engine's
+        # tokenizer: full-whitespace trim, split on \s+, rejoin.
+        "q_dedup_minhash": _exact_twin_pairs_sql(),
+        "q_ngram_jaccard_lsh": _exact_twin_pairs_sql(),
+        # q_ann_ivf / q_dedup_simhash / q_ngram_jaccard / q_fingerprint_winnow:
+        # approximate / non-SQL-expressible → rows-only.
     }
+
+
+def _exact_twin_pairs_sql() -> str:
+    """SQL twin-plant + identical-normalized-text self-join: the oracle for
+    the deterministic (jaccard == 1.0) subset of the MinHash-LSH pair list."""
+    return rf"""
+        WITH norm AS (
+            SELECT doc_id,
+                   array_to_string(
+                     regexp_split_to_array(
+                       trim(coalesce(text, ''), ' ' || chr(9) || chr(10) || chr(13)),
+                       '\s+'),
+                     ' ') AS ntext
+            FROM documents
+        ), aug AS (
+            SELECT doc_id, ntext FROM norm
+            UNION ALL
+            SELECT doc_id + {_DOC_TWIN_OFFSET} AS doc_id, ntext
+            FROM norm WHERE doc_id < {_DOC_TWIN_N} AND ntext <> ''
+        )
+        SELECT x.doc_id AS a, y.doc_id AS b
+        FROM aug x JOIN aug y ON x.ntext = y.ntext AND x.doc_id < y.doc_id
+    """

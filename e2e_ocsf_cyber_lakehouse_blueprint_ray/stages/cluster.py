@@ -74,7 +74,10 @@ def add_cluster_key(
         bits=config.curve_bits,
         ts_range=ts_range,
     )
-    part = _part_column(batch, spec, h if spec.startswith("hash:conv_id") else None)
+    # reuse the conv_id hash only when the spec's column segment IS conv_id
+    # (startswith would also match e.g. "hash:conv_id2:8" and mis-route rows)
+    reuse = spec.startswith("hash:") and spec.split(":")[1] == "conv_id"
+    part = _part_column(batch, spec, h if reuse else None)
     return batch.append_column("_part", part).append_column("_zkey", pa.array(zk))
 
 

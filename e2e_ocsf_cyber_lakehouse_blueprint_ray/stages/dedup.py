@@ -140,6 +140,60 @@ def exact_dedup(
     return interior.union(rd.from_arrow(merged))
 
 
+def distinct_pairs(pairs_ds, *, config: EngineConfig = DEFAULT):
+    """Distinct rows per ``(a, b)`` pair key — fully vectorized.
+
+    Same run machinery as :func:`exact_dedup`: global ``sort(a, b)`` (range
+    shuffle) → ONE numpy run pass per sorted block keeping the first row of
+    each (a, b) run → the ≤2 runs per block that touch a block edge are
+    deduped in a constant-size driver merge. Replaces the former
+    ``groupby(["a","b"]).map_groups(slice(0,1))`` shape, which cost one
+    Python group call per distinct pair (round-3 verdict item 2). Extra
+    columns (jaccard / hamming / cosine) ride along; duplicate pairs carry
+    identical metric values (deterministic functions of the two docs), so
+    keeping the run head loses nothing."""
+    import ray.data as rd
+
+    sorted_ds = pairs_ds.sort(["a", "b"])
+
+    def block_pass(b: pa.Table) -> pa.Table:
+        if b.num_rows == 0:
+            return b.append_column("_edge", pa.array([], pa.bool_()))
+        a = b["a"].to_numpy(zero_copy_only=False)
+        bb = b["b"].to_numpy(zero_copy_only=False)
+        starts = np.flatnonzero(np.r_[True, (a[1:] != a[:-1]) | (bb[1:] != bb[:-1])])
+        surv = b.take(pa.array(starts))
+        edge = np.zeros(len(starts), dtype=bool)
+        edge[0] = True
+        edge[-1] = True
+        return surv.append_column("_edge", pa.array(edge))
+
+    passed = sorted_ds.map_batches(
+        block_pass, batch_format="pyarrow", batch_size=None
+    ).materialize()
+
+    def keep_interior(b: pa.Table) -> pa.Table:
+        return b.filter(pc.invert(pc.fill_null(b["_edge"], True))).drop_columns(["_edge"])
+
+    interior = passed.map_batches(keep_interior, batch_format="pyarrow")
+    edge_schema = getattr(passed.schema(), "base_schema", None)
+    edge_rows = pa.Table.from_pylist(
+        passed.map_batches(
+            lambda b: b.filter(pc.fill_null(b["_edge"], True)), batch_format="pyarrow"
+        ).take_all(),
+        schema=edge_schema,
+    )
+    if edge_rows.num_rows == 0:
+        return interior
+    idx = pc.sort_indices(edge_rows, sort_keys=[("a", "ascending"), ("b", "ascending")])
+    e = edge_rows.take(idx)
+    ea = e["a"].to_numpy(zero_copy_only=False)
+    eb = e["b"].to_numpy(zero_copy_only=False)
+    starts = np.flatnonzero(np.r_[True, (ea[1:] != ea[:-1]) | (eb[1:] != eb[:-1])])
+    merged = e.take(pa.array(starts)).drop_columns(["_edge"])
+    return interior.union(rd.from_arrow(merged))
+
+
 def incremental_exact_dedup(
     corpus_ds,
     increment_ds,
@@ -311,6 +365,11 @@ class MinHasher:
         for bnd in range(bands):
             for r in range(rpb):
                 band_hash[bnd] = (band_hash[bnd] * _FP_BASE_MH + sig[bnd * rpb + r]) % _MERSENNE
+        # FULL-signature fingerprint: lets degenerate-bucket chaining keep
+        # identical-signature sub-groups contiguous (see bucket_pairs)
+        full = np.zeros(n, dtype=np.uint64)
+        for r in range(len(self.a)):
+            full = (full * _FP_BASE_MH + sig[r]) % _MERSENNE
         return pa.table(
             {
                 "doc_id": pa.array(np.repeat(ids, bands)),
@@ -318,11 +377,24 @@ class MinHasher:
                 "band_hash": pa.array(
                     band_hash.T.reshape(-1).view(np.int64), pa.int64()
                 ),
+                "sig_hash": pa.array(np.repeat(full.view(np.int64), bands), pa.int64()),
             }
         )
 
 
 _FP_BASE_MH = np.uint64(1_000_003)
+
+
+def _popcount64(x: np.ndarray) -> np.ndarray:
+    """Vectorized 64-bit popcount (np.bitwise_count on numpy>=2, SWAR else)."""
+    if hasattr(np, "bitwise_count"):
+        return np.bitwise_count(x).astype(np.int64)
+    x = x.astype(np.uint64, copy=True)
+    x = x - ((x >> np.uint64(1)) & np.uint64(0x5555555555555555))
+    x = (x & np.uint64(0x3333333333333333)) + ((x >> np.uint64(2)) & np.uint64(0x3333333333333333))
+    x = (x + (x >> np.uint64(4))) & np.uint64(0x0F0F0F0F0F0F0F0F)
+    with np.errstate(over="ignore"):  # SWAR multiply intentionally wraps
+        return ((x * np.uint64(0x0101010101010101)) >> np.uint64(56)).astype(np.int64)
 
 
 def jaccard(a: set, b: set) -> float:
@@ -379,21 +451,31 @@ def minhash_duplicate_pairs(
     bucket_cap = config.lsh_bucket_cap
 
     def bucket_pairs(g: pa.Table) -> pa.Table:
-        ids = sorted(set(g["doc_id"].to_pylist()))
-        if len(ids) > bucket_cap:
-            # degenerate bucket (e.g. boilerplate-identical docs): emit the
-            # consecutive-id CHAIN — m-1 pairs keep the duplicate cluster
-            # connected for duplicate_clusters() without the O(m^2) blowup
-            out_a, out_b = ids[:-1], ids[1:]
+        # vectorized: distinct ids via np.unique, all-pairs via triu_indices
+        # (bounded by bucket_cap²), no per-bucket Python loop
+        ids = g["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        uniq, first = np.unique(ids, return_index=True)
+        m = len(uniq)
+        if m > bucket_cap:
+            # degenerate bucket (e.g. boilerplate-identical docs): emit a
+            # CHAIN — m-1 pairs keep each duplicate cluster connected for
+            # duplicate_clusters() without the O(m^2) blowup. Chain in
+            # FULL-signature order so identical-signature sub-groups stay
+            # contiguous: when a band-hash collision mixes distinct
+            # duplicate groups in one bucket, only the boundary pair
+            # between sub-groups can fail verification instead of chain
+            # links threading through foreign groups (round-3 advice).
+            sig = g["sig_hash"].to_numpy(zero_copy_only=False)[first]
+            order = np.lexsort((uniq, sig))
+            o = uniq[order]
+            a, b = np.minimum(o[:-1], o[1:]), np.maximum(o[:-1], o[1:])
         else:
-            out_a, out_b = [], []
-            for x, y in itertools.combinations(ids, 2):
-                out_a.append(x)
-                out_b.append(y)
-        return pa.table({"a": pa.array(out_a, pa.int64()), "b": pa.array(out_b, pa.int64())})
+            iu, ju = np.triu_indices(m, k=1)
+            a, b = uniq[iu], uniq[ju]  # uniq ascending → a < b already
+        return pa.table({"a": pa.array(a, pa.int64()), "b": pa.array(b, pa.int64())})
 
     cand = sig_ds.groupby(["band", "band_hash"]).map_groups(bucket_pairs, batch_format="pyarrow")
-    cand = cand.groupby(["a", "b"]).map_groups(lambda g: g.slice(0, 1), batch_format="pyarrow")
+    cand = distinct_pairs(cand, config=config)
 
     if not verify:
         def tag(b: pa.Table) -> pa.Table:
@@ -486,7 +568,7 @@ def verify_candidate_pairs(
         # shingle row per occurrence — dedupe per (pair_id, doc) instead of
         # silently dropping the pair on group-cardinality != 2
         docs = g["doc"].to_numpy(zero_copy_only=False)
-        uniq, first = np.unique(docs, return_index=True)
+        uniq = np.unique(docs)
         if len(uniq) != 2:
             if g.num_rows:  # one side filtered out upstream: unverifiable
                 import logging
@@ -496,8 +578,25 @@ def verify_candidate_pairs(
                     int(g["pair_id"][0].as_py()), len(uniq),
                 )
             return empty
-        s0 = set(g["sh"][int(first[0])].as_py())
-        s1 = set(g["sh"][int(first[1])].as_py())
+        if g.num_rows == 2:  # the overwhelmingly common case: one row per doc
+            s0 = set(g["sh"][0].as_py())
+            s1 = set(g["sh"][1].as_py())
+        else:
+            # duplicate occurrences with possibly DIFFERENT texts: pick the
+            # occurrence with the smallest shingle-set fingerprint so the
+            # verified jaccard is run-order independent (round-3 advice)
+            pick: dict[int, tuple[bytes, list]] = {}
+            for i in range(g.num_rows):
+                sh = g["sh"][i].as_py()
+                key = hashlib.blake2b(
+                    np.sort(np.asarray(sh, dtype=np.int64)).tobytes(), digest_size=8
+                ).digest()
+                d = int(docs[i])
+                cur = pick.get(d)
+                if cur is None or key < cur[0]:
+                    pick[d] = (key, sh)
+            s0 = set(pick[int(uniq[0])][1])
+            s1 = set(pick[int(uniq[1])][1])
         j = jaccard(s0, s1)
         if j < thr:
             return empty
@@ -592,30 +691,32 @@ def simhash_duplicate_pairs(ds, *, max_hamming: int = 3, id_col: str = "doc_id",
     bucket_cap = config.lsh_bucket_cap
 
     def bucket_pairs(g: pa.Table) -> pa.Table:
-        ids = g["doc_id"].to_pylist()
+        # vectorized: distinct ids via np.unique, pair XOR + SWAR popcount
+        # over the whole candidate set at once — no per-bucket Python loop
+        ids = g["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
         sims = g["sim"].to_numpy(zero_copy_only=False).view(np.uint64)
-        seen = {}
-        for i, s in zip(ids, sims):
-            seen[i] = s
-        ordered = sorted(seen)
-        if len(ordered) > bucket_cap:
-            # degenerate-bucket guard: chain instead of all-pairs (the
-            # cluster stays connected via transitive verified links)
-            cand_iter = zip(ordered[:-1], ordered[1:])
+        uniq, first = np.unique(ids, return_index=True)
+        s = sims[first]
+        m = len(uniq)
+        if m > bucket_cap:
+            # degenerate-bucket guard: chain instead of all-pairs, in FULL-
+            # simhash order so identical-signature sub-groups stay
+            # contiguous (see the MinHash chain note above)
+            order = np.lexsort((uniq, s))
+            u, ss = uniq[order], s[order]
+            a, b, x = u[:-1], u[1:], ss[:-1] ^ ss[1:]
         else:
-            cand_iter = itertools.combinations(ordered, 2)
-        out_a, out_b, out_h = [], [], []
-        for x, y in cand_iter:
-            d = int(bin(int(seen[x]) ^ int(seen[y])).count("1"))
-            if d <= mh:
-                out_a.append(x)
-                out_b.append(y)
-                out_h.append(d)
-        return pa.table({"a": pa.array(out_a, pa.int64()), "b": pa.array(out_b, pa.int64()),
-                         "hamming": pa.array(out_h, pa.int32())})
+            iu, ju = np.triu_indices(m, k=1)
+            a, b, x = uniq[iu], uniq[ju], s[iu] ^ s[ju]
+        d = _popcount64(x)
+        keep = d <= mh
+        a, b, d = a[keep], b[keep], d[keep]
+        return pa.table({"a": pa.array(np.minimum(a, b), pa.int64()),
+                         "b": pa.array(np.maximum(a, b), pa.int64()),
+                         "hamming": pa.array(d.astype(np.int32), pa.int32())})
 
     pairs = ex.groupby(["band", "key"]).map_groups(bucket_pairs, batch_format="pyarrow")
-    return pairs.groupby(["a", "b"]).map_groups(lambda g: g.slice(0, 1), batch_format="pyarrow")
+    return distinct_pairs(pairs, config=config)
 
 
 # -- n-gram jaccard (exact, within candidate groups) -------------------------
@@ -767,8 +868,8 @@ def embedding_near_dup_pairs(ds, *, threshold: float = 0.95, n_clusters: int = 8
                          "cosine": pa.array(sims[r, c], pa.float64())})
 
     pairs = ex.groupby("bucket").map_groups(bucket_pairs, batch_format="pyarrow")
-    # pairs found in several shared buckets → keep one
-    return pairs.groupby(["a", "b"]).map_groups(lambda g: g.slice(0, 1), batch_format="pyarrow")
+    # pairs found in several shared buckets → keep one (vectorized distinct)
+    return distinct_pairs(pairs, config=config)
 
 
 # -- duplicate clusters (connected components over candidate pairs) ---------
