@@ -112,7 +112,13 @@ def snapshot_changes(table: Table, from_id: int, to_id: int):
     two DISTINCT contents would need a 128-bit hash collision; phase 2
     stays content-exact.
     """
+    import sys
+    import time
+
     import ray.data as rd
+
+    prof = os.environ.get("ENGINE_PROFILE_CHANGES")
+    t_start = time.perf_counter()
 
     ea = set(table.entries(from_id)["path"].to_pylist())
     eb = set(table.entries(to_id)["path"].to_pylist())
@@ -261,6 +267,14 @@ def snapshot_changes(table: Table, from_id: int, to_id: int):
         changed1 = np.concatenate(interior1) if interior1 else np.array([], np.int64)
         changed2 = np.concatenate(interior2) if interior2 else np.array([], np.int64)
 
+    if prof:
+        print(
+            f"[changes] phase1 {time.perf_counter() - t_start:.2f}s "
+            f"files={len(removed_paths)}+{len(added_paths)} "
+            f"partials={n_part} changed={len(changed1)} overflow={overflow}",
+            file=sys.stderr, flush=True,
+        )
+        t_p2 = time.perf_counter()
     if len(changed1) == 0:
         return rd.from_arrow(out_schema.empty_table())
 
@@ -313,7 +327,14 @@ def snapshot_changes(table: Table, from_id: int, to_id: int):
         if not rows:
             return rd.from_arrow(out_schema.empty_table())
         rt = pa.concat_tables(rows).combine_chunks()
-        return rd.from_arrow(_label(_net_table(rt, cols), cols).cast(out_schema))
+        out = rd.from_arrow(_label(_net_table(rt, cols), cols).cast(out_schema))
+        if prof:
+            print(
+                f"[changes] phase2 {time.perf_counter() - t_p2:.2f}s "
+                f"subset_rows={rt.num_rows} (driver-fold path)",
+                file=sys.stderr, flush=True,
+            )
+        return out
 
     # large churn: the original distributed exact netting over the subset
     def per_block_net(b: pa.Table) -> pa.Table:

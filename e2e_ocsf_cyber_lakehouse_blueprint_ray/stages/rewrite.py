@@ -116,6 +116,9 @@ class BinRewriter:
         self.stats_cols = self.table.stats_cols() or None
         self.fail_after = fail_after
         self.done = 0
+        #: per-partition distinct conv_ids of the delete-key set (derived
+        #: lazily, cached per task instance — see _apply_merge)
+        self._dk_convs: dict[str, pa.Array] = {}
 
     # -- helpers ---------------------------------------------------------
 
@@ -148,15 +151,33 @@ class BinRewriter:
     def _apply_merge(
         self, t: pa.Table | None, partition: str, apply_extra: bool = True
     ) -> pa.Table | None:
+        import numpy as np
         import ray
 
         dk = self.delete_keys.get(partition)
         if t is not None and dk is not None:
             dk = ray.get(dk) if isinstance(dk, ray.ObjectRef) else dk
-            key = pc.binary_join_element_wise(
-                t["conv_id"], pc.cast(t["turn_idx"], pa.string()), "\x1f"
-            )
-            t = t.filter(pc.invert(pc.is_in(key, value_set=dk)))
+            # two-step anti-join: the source touches few conversations, so
+            # probe conv_id membership first (no allocation beyond the mask)
+            # and build the (conv_id, turn_idx) key string ONLY for candidate
+            # rows — the full-column cast+join was ~98% wasted string traffic
+            # on the memory-bus-bound 16-slot merge stage
+            convs = self._dk_convs.get(partition)
+            if convs is None:
+                convs = self._dk_convs[partition] = pc.unique(
+                    pc.list_element(pc.split_pattern(dk, "\x1f"), 0)
+                )
+            cand = pc.is_in(t["conv_id"], value_set=convs)
+            idx = np.flatnonzero(cand.to_numpy(zero_copy_only=False))
+            if len(idx):
+                sub = t.take(pa.array(idx))
+                key = pc.binary_join_element_wise(
+                    sub["conv_id"], pc.cast(sub["turn_idx"], pa.string()), "\x1f"
+                )
+                hit = pc.is_in(key, value_set=dk).to_numpy(zero_copy_only=False)
+                keep = np.ones(t.num_rows, dtype=bool)
+                keep[idx[hit]] = False
+                t = t.filter(pa.array(keep))
         ex = self.extra.get(partition)
         if ex is not None and apply_extra:
             ex = ray.get(ex) if isinstance(ex, ray.ObjectRef) else ex
@@ -204,6 +225,10 @@ class BinRewriter:
     # -- per-bin work ----------------------------------------------------
 
     def _do_unit(self, unit: dict) -> list[dict]:
+        import time
+
+        prof_path = os.environ.get("ENGINE_PROFILE_REWRITE")
+        marks: list[tuple[str, float]] = [("t0", time.perf_counter())] if prof_path else []
         uid = unit["unit_id"]
         cached = lineage.load_unit(self.table.dir, self.job_id, uid)
         if cached is not None:
@@ -219,7 +244,11 @@ class BinRewriter:
         inputs = json.loads(unit["inputs_json"])
         partition = unit["partition"]
         t = self._read_inputs(inputs)
+        if marks:
+            marks.append(("read", time.perf_counter()))
         t = self._apply_merge(t, partition, bool(unit.get("apply_extra", True)))
+        if marks:
+            marks.append(("merge", time.perf_counter()))
         if t is not None and self.delete_range is not None:
             col, lo, hi = self.delete_range
             c = t[col]
@@ -230,6 +259,8 @@ class BinRewriter:
         entries: list[dict] = []
         if t is not None and t.num_rows:
             t = self._sorted(t)
+            if marks:
+                marks.append(("sort", time.perf_counter()))
             rpf = self._split_rows(int(unit["in_rows"]), int(unit["in_bytes"]), t.num_rows)
             k = 0
             for off in range(0, t.num_rows, rpf):
@@ -238,6 +269,24 @@ class BinRewriter:
                     self.table.write_file(sl, partition, f"{uid}-{k:04d}.parquet", self.stats_cols)
                 )
                 k += 1
+            if marks:
+                marks.append(("write", time.perf_counter()))
+        if marks:
+            # env-gated single-node diagnostic: one JSON line per unit with
+            # per-phase wall deltas (O_APPEND keeps small lines atomic)
+            deltas = {
+                marks[i][0]: round(marks[i][1] - marks[i - 1][1], 4)
+                for i in range(1, len(marks))
+            }
+            deltas.update(
+                unit_rows=int(unit["in_rows"]),
+                unit_bytes=int(unit["in_bytes"]),
+                pid=os.getpid(),
+                mode="merge" if self.delete_keys else self.sort_mode,
+                end=round(time.time(), 3),
+            )
+            with open(prof_path, "a") as f:
+                f.write(json.dumps(deltas) + "\n")
         lineage.save_unit(
             self.table.dir,
             self.job_id,
@@ -252,9 +301,33 @@ class BinRewriter:
         self.done += 1
         return entries
 
+    def _prefetch_refs(self, units: list[dict]) -> None:
+        """Resolve this task's broadcast slices (delete keys / upsert rows)
+        in ONE ``ray.get`` round trip. Per-unit gets queue on the object
+        store under high task concurrency — measured on the 16-slot merge
+        stage as 4× anti-join-phase wall inflation with 2 s p99 spikes vs
+        4 slots; one batched get per task keeps the two-level-broadcast
+        property (a task still fetches only its own partitions' payloads)
+        while collapsing the round trips."""
+        import ray
+
+        need: dict[tuple[str, str], object] = {}
+        for u in units:
+            p = u["partition"]
+            if isinstance(self.delete_keys.get(p), ray.ObjectRef):
+                need[("dk", p)] = self.delete_keys[p]
+            if isinstance(self.extra.get(p), ray.ObjectRef):
+                need[("ex", p)] = self.extra[p]
+        if need:
+            for (kind, p), v in zip(need, ray.get(list(need.values()))):
+                (self.delete_keys if kind == "dk" else self.extra)[p] = v
+
     def __call__(self, batch: pa.Table) -> pa.Table:
+        units = batch.to_pylist()
+        if self.delete_keys or self.extra:
+            self._prefetch_refs(units)
         out: list[dict] = []
-        for unit in batch.to_pylist():
+        for unit in units:
             out.extend(self._do_unit(unit))
         if not out:
             return ENTRY_SCHEMA.empty_table()

@@ -442,6 +442,12 @@ def test_multimodal_plumbing(docs_ds, ray_session):
     assert all(sorted(v) == [0, 1, 2] for v in per.values())
     with pytest.raises(NotImplementedError):
         multimodal.ImageDecoder(use_real_codec=True)
+    # "auto" falls back to the fake path when the codec import fails (PIL
+    # absent in this container) — same output as the default gate
+    auto_dec = multimodal.ImageDecoder(use_real_codec="auto")
+    assert auto_dec.real is None
+    one = media.take_batch(4, batch_format="pyarrow")
+    assert auto_dec(one).to_pylist() == multimodal.ImageDecoder()(one).to_pylist()
     # audio-analog stage: fake PCM features over the same payload plumbing
     audio = media.map_batches(
         multimodal.AudioFeatureExtractor, batch_format="pyarrow", batch_size=64, concurrency=2
@@ -476,6 +482,11 @@ def test_image_resize_resample():
     assert multimodal.ImageResizer()(bad).to_pylist()[0]["out_w"] is None
     with pytest.raises(NotImplementedError):
         multimodal.ImageResizer(use_real_codec=True)
+    # "auto" gate: falls back to the fake resample when PIL is absent
+    auto = multimodal.ImageResizer(target_w=2, target_h=2, use_real_codec="auto")
+    assert auto.real is None and auto(b).to_pylist() == multimodal.ImageResizer(
+        target_w=2, target_h=2
+    )(b).to_pylist()
 
 
 def test_duplicate_clusters_and_representatives(ray_session):
