@@ -1623,10 +1623,30 @@ def q_dedup_minhash(sf_dir: str):
 
 
 def q_dedup_simhash(sf_dir: str):
+    """SimHash banding pipeline with planted exact twins; output = the
+    planted-pair subset, a deterministic RECALL oracle: identical text ⟹
+    identical 64-bit simhash ⟹ same key in every band ⟹ bucket pair at
+    hamming 0 — found with probability 1.  (The full pair list stays
+    approximate: natural near-dup texts can collide at hamming ≤ 3, which
+    no SQL oracle models — so precision is pytest-covered, recall is
+    driver-hash-checked.)"""
     import ray.data as rd
 
-    docs = _pq(sf_dir, "documents", ["doc_id", "text"])
-    return dedup_mod.simhash_duplicate_pairs(rd.from_arrow(docs), max_hamming=3, config=CONF)
+    ds = _read(sf_dir, "documents", ["doc_id", "text"]).map_batches(
+        _plant_doc_twins, batch_format="pyarrow", batch_size=CONF.batch_size
+    )
+    out = dedup_mod.simhash_duplicate_pairs(ds, max_hamming=3, config=CONF)
+    rows = sorted(
+        (int(r["a"]), int(r["b"]))
+        for r in out.take_all()
+        if r["b"] - r["a"] == _DOC_TWIN_OFFSET and r["a"] < _DOC_TWIN_N
+    )
+    return pa.table(
+        {
+            "a": pa.array([r[0] for r in rows], pa.int64()),
+            "b": pa.array([r[1] for r in rows], pa.int64()),
+        }
+    )
 
 
 def q_ngram_jaccard(sf_dir: str):
@@ -2383,7 +2403,15 @@ def oracle_sql() -> dict:
         # tokenizer: full-whitespace trim, split on \s+, rejoin.
         "q_dedup_minhash": _exact_twin_pairs_sql(),
         "q_ngram_jaccard_lsh": _exact_twin_pairs_sql(),
-        # q_ann_ivf / q_dedup_simhash / q_ngram_jaccard / q_fingerprint_winnow:
+        # SimHash recall oracle: the planted-pair subset only (identical
+        # text ⟹ identical simhash ⟹ found at hamming 0 with prob. 1;
+        # the full hamming≤3 list stays approximate by nature).
+        "q_dedup_simhash": rf"""
+            SELECT doc_id AS a, doc_id + {_DOC_TWIN_OFFSET} AS b
+            FROM documents
+            WHERE doc_id < {_DOC_TWIN_N} AND regexp_matches(text, '\S')
+        """,
+        # q_ann_ivf / q_ngram_jaccard / q_fingerprint_winnow:
         # approximate / non-SQL-expressible → rows-only.
     }
 

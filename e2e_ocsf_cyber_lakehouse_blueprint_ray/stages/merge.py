@@ -90,14 +90,16 @@ def merge(
     sp = src_codes[part_order]
     bounds = np.flatnonzero(np.r_[True, sp[1:] != sp[:-1]]) if len(sp) else np.array([], int)
 
-    delete_keys: dict[str, pa.Array] = {}
+    delete_keys: dict[str, pa.Table] = {}
     extra_rows: dict[str, bytes] = {}
     conv_ranges: dict[str, tuple[str, str]] = {}
     for i, b in enumerate(bounds):
         e = bounds[i + 1] if i + 1 < len(bounds) else len(sp)
         part = str(part_names[sp[b]])
         chunk = src_sorted.slice(b, e - b)
-        delete_keys[part] = _key_array(chunk)  # all source keys leave the target
+        # all source keys leave the target; shipped as a 2-column key table
+        # for the rewriter's Acero left-anti join (no key-string building)
+        delete_keys[part] = chunk.select(["conv_id", "turn_idx"]).combine_chunks()
         ups = chunk.filter(pc.not_equal(chunk["op"], "delete")).drop_columns(["op"])
         sink = pa.BufferOutputStream()
         with pa.ipc.new_stream(sink, ups.schema) as w:

@@ -77,8 +77,8 @@ class BinRewriter:
     dict is tiny, and a task ray.gets ONLY its own partition's payload —
     shipping one flat dict would memcpy every partition's upserts into every
     task.
-    ``delete_keys_ref``: same shape for {partition: ObjectRef(key array)}
-    whose (conv_id, turn_idx) rows are dropped (MERGE anti-join).
+    ``delete_keys_ref``: same shape for {partition: ObjectRef(key table)} —
+    a 2-column (conv_id, turn_idx) Arrow table anti-joined away (MERGE).
     """
 
     def __init__(
@@ -116,9 +116,6 @@ class BinRewriter:
         self.stats_cols = self.table.stats_cols() or None
         self.fail_after = fail_after
         self.done = 0
-        #: per-partition distinct conv_ids of the delete-key set (derived
-        #: lazily, cached per task instance — see _apply_merge)
-        self._dk_convs: dict[str, pa.Array] = {}
 
     # -- helpers ---------------------------------------------------------
 
@@ -151,33 +148,17 @@ class BinRewriter:
     def _apply_merge(
         self, t: pa.Table | None, partition: str, apply_extra: bool = True
     ) -> pa.Table | None:
-        import numpy as np
         import ray
 
         dk = self.delete_keys.get(partition)
         if t is not None and dk is not None:
             dk = ray.get(dk) if isinstance(dk, ray.ObjectRef) else dk
-            # two-step anti-join: the source touches few conversations, so
-            # probe conv_id membership first (no allocation beyond the mask)
-            # and build the (conv_id, turn_idx) key string ONLY for candidate
-            # rows — the full-column cast+join was ~98% wasted string traffic
-            # on the memory-bus-bound 16-slot merge stage
-            convs = self._dk_convs.get(partition)
-            if convs is None:
-                convs = self._dk_convs[partition] = pc.unique(
-                    pc.list_element(pc.split_pattern(dk, "\x1f"), 0)
-                )
-            cand = pc.is_in(t["conv_id"], value_set=convs)
-            idx = np.flatnonzero(cand.to_numpy(zero_copy_only=False))
-            if len(idx):
-                sub = t.take(pa.array(idx))
-                key = pc.binary_join_element_wise(
-                    sub["conv_id"], pc.cast(sub["turn_idx"], pa.string()), "\x1f"
-                )
-                hit = pc.is_in(key, value_set=dk).to_numpy(zero_copy_only=False)
-                keep = np.ones(t.num_rows, dtype=bool)
-                keep[idx[hit]] = False
-                t = t.filter(pa.array(keep))
+            # Acero hash LEFT ANTI join on (conv_id, turn_idx) — no per-row
+            # key-string materialization (the former full-column cast+join
+            # built ~16 bytes of temp string per row, pure memory-bus load
+            # on the 16-slot stage). Row order is not preserved, which is
+            # fine: _sorted() re-sorts by the merge key right after.
+            t = t.join(dk, keys=["conv_id", "turn_idx"], join_type="left anti")
         ex = self.extra.get(partition)
         if ex is not None and apply_extra:
             ex = ray.get(ex) if isinstance(ex, ray.ObjectRef) else ex
