@@ -1455,14 +1455,33 @@ def q_ann_topk(sf_dir: str):
 
 
 def q_ann_ivf(sf_dir: str):
-    t = _pq(sf_dir, "embeddings")
+    """IVF ANN with planted exact-twin vectors; output = each query's rank-1
+    neighbor, which is DETERMINISTIC: the twin sits at cosine 1.0, lives in
+    the query's own nearest-centroid cluster (always the first probe), and
+    the fixture's random vectors never reach cosine 1.0 — so rank-1 is
+    hash-checkable while the top-k tail stays approximate by nature
+    (recall < 1, pytest-covered)."""
+    t = _plant_near_dups(_pq(sf_dir, "embeddings"))
     ids = t["vec_id"].to_numpy(zero_copy_only=False).astype(np.int64)
     mat = np.asarray(t["embedding"].to_pylist(), dtype=np.float64)
     cent = similarity_mod.kmeans_fit(mat, 8)
-    qm = ids < 8
+    qm = (ids >= 0) & (ids < 8)
     import ray.data as rd
 
-    return similarity_mod.ivf_topk(rd.from_arrow(t), mat[qm], ids[qm], cent, k=10, nprobe=4, config=CONF)
+    out = similarity_mod.ivf_topk(
+        rd.from_arrow(t), mat[qm], ids[qm], cent, k=10, nprobe=4, config=CONF
+    )
+    rows = sorted(
+        (int(r["query_id"]), int(r["vec_id"]))
+        for r in out.take_all()
+        if r["rank"] == 1
+    )
+    return pa.table(
+        {
+            "query_id": pa.array([r[0] for r in rows], pa.int64()),
+            "vec_id": pa.array([r[1] for r in rows], pa.int64()),
+        }
+    )
 
 
 def q_kmeans_clusters(sf_dir: str):
@@ -2411,8 +2430,15 @@ def oracle_sql() -> dict:
             FROM documents
             WHERE doc_id < {_DOC_TWIN_N} AND regexp_matches(text, '\S')
         """,
-        # q_ann_ivf / q_ngram_jaccard / q_fingerprint_winnow:
-        # approximate / non-SQL-expressible → rows-only.
+        # IVF rank-1 determinism oracle: each query's nearest neighbor is
+        # its planted exact twin (cosine 1.0, always-probed own cluster).
+        "q_ann_ivf": f"""
+            SELECT vec_id AS query_id, vec_id + {_NEAR_DUP_PLANT_OFFSET} AS vec_id
+            FROM embeddings WHERE vec_id < 8
+        """,
+        # q_ngram_jaccard / q_fingerprint_winnow / q_kmeans_clusters /
+        # q_distinct_docs_hll: approximate / iterative / non-SQL-expressible
+        # → rows-only by nature.
     }
 
 

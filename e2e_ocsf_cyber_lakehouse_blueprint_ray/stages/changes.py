@@ -120,10 +120,16 @@ def snapshot_changes(table: Table, from_id: int, to_id: int):
     prof = os.environ.get("ENGINE_PROFILE_CHANGES")
     t_start = time.perf_counter()
 
-    ea = set(table.entries(from_id)["path"].to_pylist())
-    eb = set(table.entries(to_id)["path"].to_pylist())
+    ent_a, ent_b = table.entries(from_id), table.entries(to_id)
+    ea = set(ent_a["path"].to_pylist())
+    eb = set(ent_b["path"].to_pylist())
     removed_paths = sorted(ea - eb)
     added_paths = sorted(eb - ea)
+    bytes_by_path = {
+        r["path"]: r["bytes"]
+        for ent in (ent_a, ent_b)
+        for r in ent.select(["path", "bytes"]).to_pylist()
+    }
     schema = table.schema(to_id)
     cols = list(schema.names)
     out_schema = schema.append(pa.field("change", pa.string()))
@@ -167,10 +173,24 @@ def snapshot_changes(table: Table, from_id: int, to_id: int):
         sides = []
         for paths, side_val in ((removed_paths, -1), (added_paths, 1)):
             if paths:
+                # size the read's block count from the diff bytes, not Ray's
+                # min-200-blocks default: a post-maintenance diff is a few
+                # hundred SMALL files and the default turns each into its
+                # own read task — pure per-task overhead that made the feed
+                # cost near-constant across sf (zstd ≈ 3× expansion est.)
+                side_bytes = sum(bytes_by_path.get(p, 0) for p in paths)
+                n_blocks = max(
+                    table.config.rewrite_concurrency,
+                    min(
+                        4096,
+                        -(-(side_bytes * 3) // table.config.target_file_bytes),
+                    ),
+                )
                 sides.append(
                     rd.read_parquet(
                         [os.path.join(table.dir, p) for p in paths],
                         schema=schema,
+                        override_num_blocks=min(n_blocks, len(paths) * 4),
                     ).map_batches(fn_factory(side_val), batch_format="pyarrow")
                 )
         return sides[0] if len(sides) == 1 else sides[0].union(sides[1])
