@@ -155,6 +155,36 @@ def q01_pricing_summary(sf_dir: str):
     return out.map_batches(derive_avg, batch_format="pyarrow")
 
 
+def _topk_table(ds, sort_keys: list[tuple[str, str]], k: int) -> pa.Table:
+    """Distributed top-k WITHOUT a global sort: per-block vectorized top-k
+    (one ``sort_indices`` + ``take`` per block) → O(blocks × k) rows to the
+    driver → final sort + slice. Replaces ``ds.sort(...).limit(k)``, which
+    range-shuffles the ENTIRE dataset through the object store to produce a
+    k-row result — the classic wide-op-for-a-tiny-answer anti-pattern at
+    10^12 rows. ``sort_keys`` must include a total-order tiebreak so the
+    result is deterministic."""
+
+    def block_topk(b: pa.Table) -> pa.Table:
+        if b.num_rows <= k:
+            return b
+        idx = pc.sort_indices(b, sort_keys=sort_keys)
+        return b.take(idx.slice(0, k))
+
+    tabs = [
+        b
+        for b in ds.map_batches(
+            block_topk, batch_format="pyarrow", batch_size=None
+        ).iter_batches(batch_size=None, batch_format="pyarrow")
+        if b.num_rows
+    ]
+    if not tabs:
+        schema = getattr(ds.schema(), "base_schema", None)
+        return schema.empty_table() if schema is not None else pa.table({})
+    t = pa.concat_tables(tabs).combine_chunks()
+    idx = pc.sort_indices(t, sort_keys=sort_keys)
+    return t.take(idx.slice(0, min(k, t.num_rows)))
+
+
 def q03_top_orders(sf_dir: str):
     """3-way broadcast join + grouped sum + deterministic top-10."""
     cust = _pq(sf_dir, "customer", ["c_custkey", "c_mktsegment"])
@@ -196,7 +226,9 @@ def q03_top_orders(sf_dir: str):
         return b.set_column(i, "revenue_c", b["sum(revenue_c_sum)"])
 
     agg = agg.map_batches(rename, batch_format="pyarrow")
-    return agg.sort(["revenue_c", "o_orderkey"], descending=[True, False]).limit(10)
+    return _topk_table(
+        agg, [("revenue_c", "descending"), ("o_orderkey", "ascending")], 10
+    )
 
 
 def q05_region_revenue(sf_dir: str):
@@ -312,9 +344,15 @@ def q_mktsegment_orders(sf_dir: str):
 
 def q_topk_lineitem(sf_dir: str):
     ds = _read(sf_dir, "lineitem", ["l_orderkey", "l_linenumber", "l_extendedprice"])
-    return ds.sort(
-        ["l_extendedprice", "l_orderkey", "l_linenumber"], descending=[True, False, False]
-    ).limit(20)
+    return _topk_table(
+        ds,
+        [
+            ("l_extendedprice", "descending"),
+            ("l_orderkey", "ascending"),
+            ("l_linenumber", "ascending"),
+        ],
+        20,
+    )
 
 
 def q_distinct_event_types(sf_dir: str):
@@ -1168,7 +1206,7 @@ def q_token_topk(sf_dir: str):
         return b.set_column(i, "n_total", pc.cast(b["sum(n)"], pa.int64()))
 
     out = agg.map_batches(rename, batch_format="pyarrow")
-    return out.sort(["n_total", "token"], descending=[True, False]).limit(50)
+    return _topk_table(out, [("n_total", "descending"), ("token", "ascending")], 50)
 
 
 def q_doc_chunks(sf_dir: str):

@@ -489,6 +489,27 @@ def test_image_resize_resample():
     )(b).to_pylist()
 
 
+def test_distinct_pairs_multiblock_edge_merge(ray_session):
+    import ray.data as rd
+
+    rng = np.random.default_rng(3)
+    # duplicated pairs scattered across many small blocks, with a hot pair
+    # repeated enough to span several sorted blocks (edge-run coverage)
+    a = rng.integers(0, 40, 3000)
+    b = a + 1 + rng.integers(0, 3, 3000)
+    a = np.r_[a, np.full(500, 7)]
+    b = np.r_[b, np.full(500, 9)]
+    metric = (a * 1000 + b).astype(np.float64)  # deterministic per pair
+    pairs = pa.table({"a": pa.array(a, pa.int64()), "b": pa.array(b, pa.int64()),
+                      "jaccard": pa.array(metric, pa.float64())})
+    out = dedup.distinct_pairs(rd.from_arrow(pairs).repartition(16)).take_all()
+    got = {(r["a"], r["b"]) for r in out}
+    assert len(out) == len(got), "distinct_pairs emitted a duplicate pair"
+    assert got == set(zip(a.tolist(), b.tolist()))
+    # ride-along column keeps the pair's deterministic value
+    assert all(r["jaccard"] == r["a"] * 1000 + r["b"] for r in out)
+
+
 def test_duplicate_clusters_and_representatives(ray_session):
     import ray.data as rd
 
