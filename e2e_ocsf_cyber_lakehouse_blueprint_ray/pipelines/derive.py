@@ -74,12 +74,16 @@ def transcripts_from_events(sf_dir: str):
     downstream, where hot conv_ids are unbounded by design, all go through
     ``stages.repartition.salted_map_shards`` / salted partitioning instead.
     """
+    import pyarrow.parquet as pq
     import ray.data as rd
 
-    ds = rd.read_parquet(
-        f"{sf_dir}/events.parquet",
-        columns=["event_id", "user_id", "event_type", "ts", "props"],
-    )
+    cols = ["event_id", "user_id", "event_type", "ts", "props"]
+    # strip schema- AND field-level parquet metadata (pandas writes dicts
+    # there, making pa.Schema unhashable — defeats Ray's block-schema dedup
+    # and logs "Failed to hash the schemas" on every downstream stage)
+    raw = pq.read_schema(f"{sf_dir}/events.parquet").remove_metadata()
+    schema = pa.schema([raw.field(c).remove_metadata() for c in cols])
+    ds = rd.read_parquet(f"{sf_dir}/events.parquet", columns=cols, schema=schema)
 
     def number_turns(g: pa.Table) -> pa.Table:
         idx = pc.sort_indices(g, sort_keys=[("event_id", "ascending")])
