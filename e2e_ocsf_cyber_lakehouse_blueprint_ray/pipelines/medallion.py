@@ -246,64 +246,83 @@ class Medallion:
         )
 
     def _run_gold_union(self, *, use_actor: bool) -> dict[tuple[str, str], int | None]:
-        import ray.data as rd
-
-        out: dict[tuple[str, str], int | None] = {}
         by_class: dict[str, list[str]] = {}
         for src, cls in flows():
             by_class.setdefault(cls, []).append(src)
-        for cls, srcs in sorted(by_class.items()):
-            sink = self.table(GOLD_TABLES[cls])
-            parent = sink.current_snapshot_id()
-            parts: list = []
-            consumed: list[str] = []
-            for src in srcs:
-                upstream = self.table(f"silver_{src}_audit_logs")
-                tag = f"gold-{src}-{cls}"
-                new_files = self._new_upstream_files(upstream, sink, tag)
-                if not new_files:
-                    out[(src, cls)] = None
-                    continue
-                consumed.extend(new_files)
-                ds = rd.read_parquet(sorted(new_files)).map_batches(
-                    GoldTransform(src, cls),
-                    batch_format="pyarrow",
-                    batch_size=self.config.batch_size,
-                )
-                parts.append((src, ds, new_files))
-            if not parts:
+        # the 6 per-class union jobs touch DISJOINT sinks — run them
+        # concurrently like the flow mode's 15 streams (they were serial,
+        # which made union mode slower end-to-end despite fewer commits)
+        jobs = {
+            cls: (lambda c=cls, s=srcs: self._run_gold_union_class(c, s, use_actor))
+            for cls, srcs in sorted(by_class.items())
+        }
+        results = self._run_parallel(jobs, parallel=True)
+        out: dict[tuple[str, str], int | None] = {}
+        for cls_result in results.values():
+            out.update(cls_result)
+        return out
+
+    def _run_gold_union_class(
+        self, cls: str, srcs: list[str], use_actor: bool
+    ) -> dict[tuple[str, str], int | None]:
+        import ray.data as rd
+
+        out: dict[tuple[str, str], int | None] = {}
+        sink = self.table(GOLD_TABLES[cls])
+        parent = sink.current_snapshot_id()
+        parts: list = []
+        for src in srcs:
+            upstream = self.table(f"silver_{src}_audit_logs")
+            tag = f"gold-{src}-{cls}"
+            new_files = self._new_upstream_files(upstream, sink, tag)
+            if not new_files:
+                out[(src, cls)] = None
                 continue
-            unioned = parts[0][1]
-            for _, ds, _ in parts[1:]:
-                unioned = unioned.union(ds)
-            import json
+            from ..table import DATASET_CONSTRUCT_LOCK
 
-            from ..functions.ocsf import class_schema
-
-            sid = sink.append_dataset(
-                unioned,
-                operation=f"flow-gold-union-{cls}",
-                use_actor=use_actor,
-                evolve_schema=class_schema(cls),
-                extra={
-                    "flow_inputs": json.dumps(
-                        {f"gold-{src}-{cls}": sorted(nf) for src, _, nf in parts}
-                    )
-                },
+            # same guard as _run_flow: Ray's lazy fsspec import inside
+            # read_parquet races when dataset plans are built from threads
+            with DATASET_CONSTRUCT_LOCK:
+                ds = rd.read_parquet(sorted(new_files))
+            ds = ds.map_batches(
+                GoldTransform(src, cls),
+                batch_format="pyarrow",
+                batch_size=self.config.batch_size,
             )
-            for src, _, new_files in parts:
-                tag = f"gold-{src}-{cls}"
-                job_id = lineage.job_id_for(
-                    f"flow-{tag}", parent, params="|".join(sorted(new_files))
+            parts.append((src, ds, new_files))
+        if not parts:
+            return out
+        unioned = parts[0][1]
+        for _, ds, _ in parts[1:]:
+            unioned = unioned.union(ds)
+        import json
+
+        from ..functions.ocsf import class_schema
+
+        sid = sink.append_dataset(
+            unioned,
+            operation=f"flow-gold-union-{cls}",
+            use_actor=use_actor,
+            evolve_schema=class_schema(cls),
+            extra={
+                "flow_inputs": json.dumps(
+                    {f"gold-{src}-{cls}": sorted(nf) for src, _, nf in parts}
                 )
-                lineage.save_unit(
-                    sink.dir,
-                    job_id,
-                    lineage.unit_id(new_files),
-                    {"partition": "", "inputs": new_files, "input_rows": 0, "entries": []},
-                )
-                lineage.finalize_job(sink.dir, job_id, sid)
-                out[(src, cls)] = sid
+            },
+        )
+        for src, _, new_files in parts:
+            tag = f"gold-{src}-{cls}"
+            job_id = lineage.job_id_for(
+                f"flow-{tag}", parent, params="|".join(sorted(new_files))
+            )
+            lineage.save_unit(
+                sink.dir,
+                job_id,
+                lineage.unit_id(new_files),
+                {"partition": "", "inputs": new_files, "input_rows": 0, "entries": []},
+            )
+            lineage.finalize_job(sink.dir, job_id, sid)
+            out[(src, cls)] = sid
         return out
 
     def run_all(self, fixture_root: str, *, use_actor_gold: bool = True) -> None:
