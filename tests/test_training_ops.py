@@ -607,3 +607,68 @@ def test_expectations_validate_drop_quarantine(ray_session):
     counts = ex.violation_counts(rd.from_arrow(t).repartition(4), rules)
     got = {r["rule"]: (r["n_failed"], r["n_rows"]) for r in counts.to_pylist()}
     assert got == {"v_nonneg": (2, 5), "named": (2, 5)}
+
+
+def test_distinct_pairs_empty_input(ray_session):
+    """Zero candidate pairs must short-circuit, not hit a Ray global sort
+    on an empty dataset (round-4 advice)."""
+    import ray.data as rd
+
+    pairs = pa.table({"a": pa.array([], pa.int64()), "b": pa.array([], pa.int64())})
+    out = dedup.distinct_pairs(rd.from_arrow(pairs))
+    assert out.take_all() == []
+
+
+def test_verify_pairs_batched_many(ray_session):
+    """Exercise the batched vectorized verifier on a pair set spanning both
+    sides of the threshold plus degenerate empty-text pairs; compare every
+    jaccard against the scalar reference implementation."""
+    import ray.data as rd
+
+    rng = np.random.default_rng(11)
+    texts, pairs_ab = [], []
+    did = 0
+    for i in range(40):
+        n = 20 + int(rng.integers(0, 30))
+        t0 = " ".join(f"g{i}w{j}" for j in range(n))
+        toks = t0.split()
+        # mutate a varying fraction of tokens → jaccards spread over [0, 1]
+        n_mut = int(rng.integers(0, n))
+        for pos in rng.choice(n, size=n_mut, replace=False):
+            toks[pos] = toks[pos] + "X"
+        t1 = " ".join(toks)
+        texts += [t0, t1]
+        pairs_ab.append((did, did + 1))
+        did += 2
+    # degenerate: both sides empty text (jaccard 1.0 by convention)
+    texts += ["", ""]
+    pairs_ab.append((did, did + 1))
+    did += 2
+    base = pa.table(
+        {
+            "doc_id": pa.array(list(range(did)), pa.int64()),
+            "text": pa.array(texts),
+        }
+    )
+    cand = pa.table(
+        {
+            "a": pa.array([p[0] for p in pairs_ab], pa.int64()),
+            "b": pa.array([p[1] for p in pairs_ab], pa.int64()),
+        }
+    )
+    thr = 0.5
+    out = dedup.verify_candidate_pairs(
+        rd.from_arrow(base).repartition(7), cand, threshold=thr, shingle_k=3, config=CONF
+    ).take_all()
+    got = {(r["a"], r["b"]): r["jaccard"] for r in out}
+    # scalar reference
+    expect = {}
+    for a, b in pairs_ab:
+        sa = dedup._word_shingles(texts[a].split(), 3)
+        sb = dedup._word_shingles(texts[b].split(), 3)
+        j = dedup.jaccard(sa, sb)
+        if j >= thr:
+            expect[(a, b)] = j
+    assert set(got) == set(expect)
+    for k, v in expect.items():
+        assert abs(got[k] - v) < 1e-12, (k, got[k], v)
