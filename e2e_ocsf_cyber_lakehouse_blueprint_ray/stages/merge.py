@@ -93,14 +93,25 @@ def merge(
     delete_keys: dict[str, pa.Table] = {}
     extra_rows: dict[str, bytes] = {}
     conv_ranges: dict[str, tuple[str, str]] = {}
+    tbl_schema = table.schema()
     for i, b in enumerate(bounds):
         e = bounds[i + 1] if i + 1 < len(bounds) else len(sp)
         part = str(part_names[sp[b]])
         chunk = src_sorted.slice(b, e - b)
         # all source keys leave the target; shipped as a 2-column key table
-        # for the rewriter's Acero left-anti join (no key-string building)
-        delete_keys[part] = chunk.select(["conv_id", "turn_idx"]).combine_chunks()
+        # for the rewriter's Acero left-anti join (no key-string building).
+        # Null keys are dropped here: under ANSI MERGE semantics a NULL
+        # matches no target row, so they would be dead weight in every
+        # anti-join (and target-side null-key rows always survive).
+        keys = chunk.select(["conv_id", "turn_idx"]).combine_chunks()
+        delete_keys[part] = keys.filter(
+            pc.and_(pc.is_valid(keys["conv_id"]), pc.is_valid(keys["turn_idx"]))
+        )
         ups = chunk.filter(pc.not_equal(chunk["op"], "delete")).drop_columns(["op"])
+        # MERGE INTO coerces source columns to the target schema (widened
+        # ints, reordered columns); out-of-range values raise loudly here,
+        # at planning time, not inside a rewrite task
+        ups = pa.table({f.name: ups[f.name].cast(f.type) for f in tbl_schema})
         sink = pa.BufferOutputStream()
         with pa.ipc.new_stream(sink, ups.schema) as w:
             w.write_table(ups)

@@ -116,6 +116,10 @@ class BinRewriter:
         self.stats_cols = self.table.stats_cols() or None
         self.fail_after = fail_after
         self.done = 0
+        #: per-__call__ cache of prefetched broadcast payloads; lives only
+        #: for one batch so a long-lived actor never accumulates every
+        #: touched partition's payload in its heap (round-4 advice)
+        self._resolved: dict[tuple[str, str], object] = {}
 
     # -- helpers ---------------------------------------------------------
 
@@ -150,16 +154,29 @@ class BinRewriter:
     ) -> pa.Table | None:
         import ray
 
-        dk = self.delete_keys.get(partition)
+        dk = self._resolved.get(("dk", partition), self.delete_keys.get(partition))
         if t is not None and dk is not None:
             dk = ray.get(dk) if isinstance(dk, ray.ObjectRef) else dk
+            # Acero needs exact key-type equality; cast the (small) key table
+            # to this file's column types so an int64 source key or a
+            # pre-evolution file never raises (round-4 advice). dk columns
+            # were null-filtered at merge planning time.
+            dk = pa.table(
+                {
+                    c: dk[c].cast(t.schema.field(c).type)
+                    for c in ("conv_id", "turn_idx")
+                }
+            )
             # Acero hash LEFT ANTI join on (conv_id, turn_idx) — no per-row
             # key-string materialization (the former full-column cast+join
             # built ~16 bytes of temp string per row, pure memory-bus load
             # on the 16-slot stage). Row order is not preserved, which is
             # fine: _sorted() re-sorts by the merge key right after.
+            # Null-key semantics are ANSI MERGE: a NULL never equals any
+            # source key, so null-key target rows SURVIVE the anti-join
+            # (the pre-round-4 string-key path silently dropped them).
             t = t.join(dk, keys=["conv_id", "turn_idx"], join_type="left anti")
-        ex = self.extra.get(partition)
+        ex = self._resolved.get(("ex", partition), self.extra.get(partition))
         if ex is not None and apply_extra:
             ex = ray.get(ex) if isinstance(ex, ray.ObjectRef) else ex
             ex_t = pa.ipc.open_stream(ex).read_all()
@@ -283,13 +300,16 @@ class BinRewriter:
         return entries
 
     def _prefetch_refs(self, units: list[dict]) -> None:
-        """Resolve this task's broadcast slices (delete keys / upsert rows)
-        in ONE ``ray.get`` round trip. Per-unit gets queue on the object
-        store under high task concurrency — measured on the 16-slot merge
-        stage as 4× anti-join-phase wall inflation with 2 s p99 spikes vs
-        4 slots; one batched get per task keeps the two-level-broadcast
-        property (a task still fetches only its own partitions' payloads)
-        while collapsing the round trips."""
+        """Resolve this batch's broadcast slices (delete keys / upsert rows)
+        in ONE ``ray.get`` round trip, into the per-call ``self._resolved``
+        cache. Per-unit gets queue on the object store under high task
+        concurrency — measured on the 16-slot merge stage as 4×
+        anti-join-phase wall inflation with 2 s p99 spikes vs 4 slots; one
+        batched get per task keeps the two-level-broadcast property (a task
+        still fetches only its own partitions' payloads) while collapsing
+        the round trips. The cache is cleared after the batch so a
+        long-lived actor's heap holds at most one batch's partitions worth
+        of payload, never the whole job's (round-4 advice)."""
         import ray
 
         need: dict[tuple[str, str], object] = {}
@@ -300,16 +320,18 @@ class BinRewriter:
             if isinstance(self.extra.get(p), ray.ObjectRef):
                 need[("ex", p)] = self.extra[p]
         if need:
-            for (kind, p), v in zip(need, ray.get(list(need.values()))):
-                (self.delete_keys if kind == "dk" else self.extra)[p] = v
+            self._resolved.update(zip(need, ray.get(list(need.values()))))
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         units = batch.to_pylist()
         if self.delete_keys or self.extra:
             self._prefetch_refs(units)
-        out: list[dict] = []
-        for unit in units:
-            out.extend(self._do_unit(unit))
+        try:
+            out: list[dict] = []
+            for unit in units:
+                out.extend(self._do_unit(unit))
+        finally:
+            self._resolved.clear()
         if not out:
             return ENTRY_SCHEMA.empty_table()
         return pa.Table.from_pylist(out, schema=ENTRY_SCHEMA)

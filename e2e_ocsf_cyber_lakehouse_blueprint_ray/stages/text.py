@@ -312,7 +312,8 @@ def winnow_fingerprint(
             mins = grams.min(keepdims=True)
         sketch = np.unique(mins)
         digest = np.uint64(0)
-        for v in sketch:
-            digest = (digest * _FP_BASE + v) % _FP_MOD
+        with np.errstate(over="ignore"):  # uint64 wrap is the intended mix
+            for v in sketch:
+                digest = (digest * _FP_BASE + v) % _FP_MOD
         out[r] = np.int64(digest)
     return batch.append_column(out_col, pa.array(out, pa.int64()))

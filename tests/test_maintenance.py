@@ -268,3 +268,32 @@ def test_cluster_by_columns_multi_dim(tmp_table_dir, ray_session, base_data):
     got = got.filter(pc.less_equal(got["turn_idx"], 1))
     expected = base_data.filter(pc.less_equal(base_data["turn_idx"], 1))
     assert got.num_rows == expected.num_rows
+
+
+def test_merge_null_and_widened_source_keys(tmp_table_dir, ray_session, base_data):
+    """ANSI MERGE key semantics (round-4 advice): a NULL source key matches
+    no target row (dropped at planning), and a source whose turn_idx arrives
+    as int64 still anti-joins against the int32 target column (the rewriter
+    casts the key table per file)."""
+    t = make_table(tmp_table_dir, base_data)
+    conv = base_data["conv_id"][0].as_py()
+    turn = base_data["turn_idx"][0].as_py()
+    src = pa.table(
+        {
+            "conv_id": pa.array([conv, conv], pa.string()),
+            # int64 on purpose: wider than the table's int32
+            "turn_idx": pa.array([int(turn), None], pa.int64()),
+            "role": pa.array(["user", "user"]),
+            "text": pa.array(["edited-via-i64-key", "null-key-noop"]),
+            "tool": pa.array([None, None], pa.string()),
+            "ts": base_data["ts"].slice(0, 2).combine_chunks(),
+            "op": pa.array(["update", "delete"]),
+        }
+    )
+    merge_mod.merge(t, src)
+    got = sorted_scan(t)
+    # the null-key delete no-ops: row count unchanged by it; the update
+    # replaced exactly one row
+    assert got.num_rows == base_data.num_rows
+    assert got.filter(pc.equal(got["text"], "edited-via-i64-key")).num_rows == 1
+    assert got.filter(pc.equal(got["text"], "null-key-noop")).num_rows == 0
