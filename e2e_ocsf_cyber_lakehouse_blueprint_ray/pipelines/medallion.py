@@ -325,11 +325,13 @@ class Medallion:
             out[(src, cls)] = sid
         return out
 
-    def run_all(self, fixture_root: str, *, use_actor_gold: bool = True) -> None:
+    def run_all(
+        self, fixture_root: str, *, use_actor_gold: bool = True, union_gold: bool = False
+    ) -> None:
         self.setup()
         self.run_bronze(fixture_root)
         self.run_silver()
-        self.run_gold(use_actor=use_actor_gold)
+        self.run_gold(use_actor=use_actor_gold, union=union_gold)
 
     def summary(self) -> pa.Table:
         """The reference's unified-table analytical query

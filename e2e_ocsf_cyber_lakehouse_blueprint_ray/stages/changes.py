@@ -88,8 +88,12 @@ def _label(t: pa.Table, cols: list[str]) -> pa.Table:
 
 
 #: phase-1 partials fold on the driver below this many rows (~24 B each);
-#: above it a distributed narrow-row sort takes over
-PARTIAL_DRIVER_MAX_ROWS = 8_000_000
+#: above it a distributed narrow-row sort takes over. Env-tunable so the
+#: two paths can be A/B-measured on one input (0 forces the distributed
+#: fold — the 100-TB shape — everywhere).
+PARTIAL_DRIVER_MAX_ROWS = int(
+    os.environ.get("ENGINE_CHANGES_PARTIAL_DRIVER_MAX_ROWS", 8_000_000)
+)
 #: phase-2 matching rows net on the driver below this many changed hashes
 #: (full rows — keep the cap conservative); above it the distributed exact
 #: netting runs on the subset
