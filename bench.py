@@ -332,7 +332,11 @@ def run_scaling():
             eff = (r_lo["value"] / r_hi["value"]) / (hi / lo)
             samples.append({"round": k, "order": list(order),
                             f"sec_{lo}": r_lo["value"], f"sec_{hi}": r_hi["value"],
-                            "eff": round(eff, 3)})
+                            "eff": round(eff, 3),
+                            f"stage_sec_{lo}": {q: v for q, v in r_lo["queries"].items()
+                                                if q.startswith("maint")},
+                            f"stage_sec_{hi}": {q: v for q, v in r_hi["queries"].items()
+                                                if q.startswith("maint")}})
             if meta is None:
                 meta = {"sf": r_lo["sf"], "rows": r_lo["rows"]}
         best_lo = min(s[f"sec_{lo}"] for s in samples)
